@@ -1,0 +1,178 @@
+"""The dedup operator family (SURVEY.md §2.A #7, #8, #18 — the core of the
+reference).
+
+Reference behavior: for each chunk, if its hash is unseen, record
+(hash → file, line) in the index; else bump refs_num
+(/root/reference/lib/deduplicator.ex:84-119,
+/root/reference/lib/deduplicator/hash.ex:50-54,81-103). The reference does
+this one chunk at a time with a Postgres probe per unseen chunk (N+1
+pathology, SURVEY.md §4); set-oriented Spark collapses the whole fold into ONE
+hash-partitioned aggregation:
+
+    groupBy(hash).agg(min(struct(file_id, line)), count(*))
+
+- single shuffle on `hash`; partial (map-side) aggregation comes free from
+  Catalyst, which is exactly the reference's "in-flight batch dedup"
+  optimization (deduplicator.ex:88-92) done properly;
+- `min(struct(...))` is a lexicographic min, giving the first occurrence under
+  the explicit (file_id, line) order without a window sort;
+- refs_num is recomputed from base data rather than point-updated
+  (hash.ex:94-102's per-row UPDATE loop has no scalable analog — immutable
+  recompute is the Spark-native answer).
+
+Skew note for 100 TB: highly duplicated corpora make a few hash keys huge.
+Partial aggregation already collapses duplicates map-side (a key with 10^9
+occurrences arrives at the reducer as ~num_partitions partial rows), so this
+aggregation — unlike a window over `hash` — does NOT need salting. AQE
+skew-join handling covers the join-back variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark import catalog
+from sabd_deduplicator_spark.functions.hashing import content_hash
+from sabd_deduplicator_spark.operators.chunker import chunks_cte, doc_chunks
+from sabd_deduplicator_spark.registry import query
+
+
+def first_occurrence(df: DataFrame, hash_col: str = "hash", *order_cols: str) -> DataFrame:
+    """Keep exactly the first row per hash under an explicit total order
+    (reference semantics: smallest stream position wins, deduplicator.ex:84-119).
+
+    Implemented as a window row_number; for first-row-only semantics with no
+    other columns needed, prefer :func:`build_hash_links` (agg, cheaper).
+    """
+    if not order_cols:
+        raise ValueError("explicit order columns are required (no implicit row order)")
+    w = Window.partitionBy(hash_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def build_hash_links(
+    chunks: DataFrame,
+    chunk_col: str = "chunk",
+    file_col: str = "file_id",
+    line_col: str = "line",
+    algorithm: str = "md5",
+) -> DataFrame:
+    """chunks(file_id, line, chunk) → hash_links(hash, file_id, line, refs_num).
+
+    One shuffle (by hash), map-side partial agg, no window sort.
+    """
+    hashed = chunks.withColumn("hash", content_hash(chunk_col, algorithm))
+    return hashed.groupBy("hash").agg(
+        F.min(F.struct(file_col, line_col)).alias("_first"),
+        F.count("*").alias("refs_num"),
+    ).select(
+        "hash",
+        F.col(f"_first.{file_col}").alias(file_col),
+        F.col(f"_first.{line_col}").alias(line_col),
+        "refs_num",
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact-duplicate removal keeping an arbitrary representative —
+    the `dropDuplicates` shortcut (valid when order doesn't matter)."""
+    return df.dropDuplicates(cols)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (documents.text as the content being deduplicated)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_first_occurrence",
+    oracle=(
+        "SELECT doc_id, hash FROM ("
+        "  SELECT doc_id, md5(text) AS hash,"
+        "         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn"
+        "  FROM documents"
+        ") WHERE rn = 1"
+    ),
+)
+def dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence exact dedup of whole documents (#7): the survivor per
+    content hash is the lowest doc_id."""
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", content_hash("text").alias("hash")
+    )
+    return first_occurrence(docs, "hash", "doc_id").select("doc_id", "hash")
+
+
+@query(
+    "dedup_refcount",
+    oracle="SELECT md5(text) AS hash, count(*) AS refs_num FROM documents GROUP BY md5(text)",
+)
+def dedup_refcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference counting (#8): hash.ex:81-89's group-then-increment becomes a
+    plain hash aggregate with automatic partial+final stages."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.groupBy(content_hash("text").alias("hash")).agg(
+        F.count("*").alias("refs_num")
+    )
+
+
+@query(
+    "dedup_repetition_stats",
+    oracle=(
+        "SELECT hash, refs_num FROM ("
+        "  SELECT md5(chunk) AS hash, count(*) AS refs_num FROM ("
+        + chunks_cte()
+        + ") GROUP BY md5(chunk)"
+        ") WHERE refs_num > 1 ORDER BY refs_num DESC"
+    ),
+)
+def dedup_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-stats report (#18, test/deduplicator_test.exs:323-330):
+    hashes occurring more than once, most-repeated first."""
+    chunks = doc_chunks(spark, sf_dir)
+    counts = chunks.groupBy(content_hash("chunk").alias("hash")).agg(
+        F.count("*").alias("refs_num")
+    )
+    return counts.filter(F.col("refs_num") > 1).orderBy(F.desc("refs_num"))
+
+
+@query(
+    "dedup_hash_links",
+    oracle=(
+        "SELECT hash, file_id, line, refs_num FROM ("
+        "  SELECT md5(chunk) AS hash, doc_id AS file_id, line,"
+        "         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, line) AS rn,"
+        "         COUNT(*) OVER (PARTITION BY md5(chunk)) AS refs_num"
+        "  FROM (" + chunks_cte() + ")"
+        ") WHERE rn = 1"
+    ),
+)
+def dedup_hash_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core operator: build the hash_links index over chunked documents —
+    hash PK, (file, line) of first occurrence, refs_num (FIXTURES.md §A.4)."""
+    chunks = doc_chunks(spark, sf_dir).withColumnRenamed("doc_id", "file_id")
+    return build_hash_links(chunks)
+
+
+@query(
+    "dedup_invariants",
+    oracle=(
+        # sum(refs_num) == total chunks; one row per distinct hash
+        # (FIXTURES.md §A.4 invariants).
+        "SELECT CAST(sum(refs_num) AS BIGINT) AS total_refs,"
+        "       count(*) AS n_hashes,"
+        "       count(DISTINCT hash) AS n_distinct FROM ("
+        "  SELECT md5(chunk) AS hash, count(*) AS refs_num"
+        "  FROM (" + chunks_cte() + ") GROUP BY md5(chunk))"
+    ),
+)
+def dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = dedup_hash_links(spark, sf_dir)
+    return links.agg(
+        F.sum("refs_num").alias("total_refs"),
+        F.count("*").alias("n_hashes"),
+        F.countDistinct("hash").alias("n_distinct"),
+    )

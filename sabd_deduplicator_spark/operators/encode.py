@@ -1,0 +1,142 @@
+"""Encode / decode / recovery (SURVEY.md §2.A #13, #14, #16).
+
+Token grammar (/root/reference/lib/deduplicator/binary_utils.ex:4-7):
+    '0' || chunk                      — first occurrence, literal
+    '1' || lpad(first_line, W, '0')   — repeat, pointer to first occurrence
+
+Engine decisions vs the reference (SURVEY.md §4 hazards):
+- pointer width W is a PARAMETER (reference hardcodes 4 → silent corruption
+  past 9999 chunks, binary_utils.ex:42-45);
+- pointer "0000" decodes fine via a plain int cast (reference crashes:
+  deduplicator.ex:197-200 trims all leading zeros then String.to_integer(""));
+- dedup scope here is per-file (pointers are file-local line numbers), so
+  encode needs only a (file, hash)-partitioned min — no global shuffle wave.
+
+Recovery (#16): the reference resolves each pointer by re-streaming the file
+and Enum.fetch-ing position `line` — O(file) per pointer, O(n·m) total
+(files.ex:37-43). Set-oriented: ONE equi-join pointers→literals on
+(file_id, line). The O(n²) pathology vanishes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.functions.hashing import content_hash
+from sabd_deduplicator_spark.operators.chunker import chunks_cte, doc_chunks
+from sabd_deduplicator_spark.registry import query
+
+POINTER_WIDTH = 4  # safe here: documents chunk counts << 10^4; parameterized
+
+LITERAL, POINTER = "0", "1"
+
+
+def encode_chunks(
+    chunks: DataFrame,
+    file_col: str = "doc_id",
+    algorithm: str = "md5",
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """chunks(file, line, chunk) → tokens(file, line, token) (#13).
+
+    first_line = min(line) over (file, hash) — an unordered window aggregate:
+    one shuffle, no sort (cheaper than row_number for this semantics).
+    """
+    w = Window.partitionBy(file_col, "hash")
+    hashed = chunks.withColumn("hash", content_hash("chunk", algorithm))
+    first_line = F.min("line").over(w)
+    token = F.when(
+        F.col("line") == first_line, F.concat(F.lit(LITERAL), F.col("chunk"))
+    ).otherwise(
+        F.concat(
+            F.lit(POINTER),
+            F.lpad(first_line.cast("string"), pointer_width, "0"),
+        )
+    )
+    return hashed.select(file_col, "line", token.alias("token"))
+
+
+def decode_tokens(
+    tokens: DataFrame,
+    file_col: str = "doc_id",
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """tokens(file, line, token) → chunks(file, line, chunk) (#14 + #16).
+
+    Literals keep their payload; pointers equi-join back to the literal at
+    (file, pointed line). Broadcast is wrong here (both sides are data-sized);
+    a shuffle hash join on (file, line) is the scalable plan and AQE picks it.
+    """
+    is_literal = F.col("token").startswith(LITERAL)
+    literals = tokens.filter(is_literal).select(
+        file_col,
+        "line",
+        F.expr("substring(token, 2)").alias("chunk"),
+    )
+    pointers = tokens.filter(~is_literal).select(
+        file_col,
+        "line",
+        F.substring("token", 2, pointer_width).cast("long").alias("ptr"),
+    )
+    resolved = pointers.alias("p").join(
+        literals.alias("l"),
+        on=[
+            F.col(f"p.{file_col}") == F.col(f"l.{file_col}"),
+            F.col("p.ptr") == F.col("l.line"),
+        ],
+        how="inner",
+    ).select(
+        F.col(f"p.{file_col}").alias(file_col),
+        F.col("p.line").alias("line"),
+        F.col("l.chunk").alias("chunk"),
+    )
+    return literals.unionByName(resolved)
+
+
+ENCODE_SQL = (
+    "SELECT doc_id, line, CASE WHEN line = first_line THEN '0' || chunk "
+    f"ELSE '1' || lpad(CAST(first_line AS VARCHAR), {POINTER_WIDTH}, '0') END AS token "
+    "FROM (SELECT doc_id, line, chunk, "
+    "MIN(line) OVER (PARTITION BY doc_id, md5(chunk)) AS first_line "
+    "FROM (" + chunks_cte() + "))"
+)
+
+
+@query("dedup_encode", oracle=ENCODE_SQL)
+def dedup_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encode_chunks(doc_chunks(spark, sf_dir))
+
+
+@query(
+    "roundtrip_recovery",
+    # The oracle is the ORIGINAL chunk relation: encode→decode must be the
+    # identity (the reference's end-to-end backbone test,
+    # test/deduplicator_test.exs:317-321, as a differential check).
+    oracle=f"SELECT doc_id, line, chunk FROM ({chunks_cte()}) c",
+)
+def roundtrip_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = encode_chunks(doc_chunks(spark, sf_dir))
+    return decode_tokens(tokens)
+
+
+@query(
+    "encode_compression_ratio",
+    oracle=(
+        # Observability the reference only eyeballs (SURVEY.md §5.4):
+        # encoded size vs raw size per file, as exact character counts.
+        "SELECT doc_id, CAST(sum(length(token)) AS BIGINT) AS encoded_chars, "
+        "count(*) AS n_tokens, "
+        "CAST(sum(CASE WHEN token LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_literals "
+        f"FROM ({ENCODE_SQL}) GROUP BY doc_id"
+    ),
+)
+def encode_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = encode_chunks(doc_chunks(spark, sf_dir))
+    return tokens.groupBy("doc_id").agg(
+        F.sum(F.length("token")).alias("encoded_chars"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("token").startswith(LITERAL), 1).otherwise(0))
+        .cast("long")
+        .alias("n_literals"),
+    )

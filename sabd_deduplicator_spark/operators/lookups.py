@@ -1,0 +1,150 @@
+"""Point lookups, semi/anti joins, catalog ops (SURVEY.md §2.A #4-#6, #9, #11, #19).
+
+The reference does per-key Postgres probes (Repo.get on the hash PK,
+/root/reference/lib/deduplicator/hash.ex:29-45) and an IN-list filter
+(hash.ex:91-93). Set-oriented Spark: a point probe is a filter (pushed down to
+the parquet scan); a probe *stream* is a join — broadcast when the key side is
+small, left_semi/left_anti for existence/novelty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sabd_deduplicator_spark import catalog
+from sabd_deduplicator_spark.functions.hashing import content_hash
+from sabd_deduplicator_spark.operators.chunker import chunks_cte, doc_chunks
+from sabd_deduplicator_spark.operators.dedup import build_hash_links
+from sabd_deduplicator_spark.registry import query
+
+# Shared DuckDB CTE: the hash_links index over chunked documents.
+HASH_LINKS_CTE = (
+    "SELECT hash, file_id, line, refs_num FROM ("
+    "  SELECT md5(chunk) AS hash, doc_id AS file_id, line,"
+    "         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, line) AS rn,"
+    "         COUNT(*) OVER (PARTITION BY md5(chunk)) AS refs_num"
+    "  FROM (" + chunks_cte() + ")"
+    ") WHERE rn = 1"
+)
+
+
+def _hash_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = doc_chunks(spark, sf_dir).withColumnRenamed("doc_id", "file_id")
+    return build_hash_links(chunks)
+
+
+@query(
+    "lookup_by_hash",
+    oracle=(
+        f"SELECT hash, file_id, line, refs_num FROM ({HASH_LINKS_CTE}) "
+        "WHERE hash = (SELECT md5(substring(text, 1, 16)) FROM documents WHERE doc_id = 0)"
+    ),
+)
+def lookup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK point lookup (#4, hash.ex:29-36): the probe key is computed from the
+    data (first chunk of doc 0) and broadcast into a semi-probe join —
+    at scale a probe stream of millions of keys uses this same plan."""
+    links = _hash_links(spark, sf_dir)
+    key = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select(content_hash(F.substring("text", 1, 16)).alias("hash"))
+    )
+    return links.join(broadcast(key), "hash", "inner").select(
+        "hash", "file_id", "line", "refs_num"
+    )
+
+
+@query(
+    "lookup_by_line",
+    oracle=f"SELECT hash, file_id, line, refs_num FROM ({HASH_LINKS_CTE}) WHERE line = 0 AND file_id < 10",
+)
+def lookup_by_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-key lookup (#5, hash.ex:38-45) — a plain filter; Catalyst
+    pushes it below the aggregate's shuffle where legal."""
+    return _hash_links(spark, sf_dir).filter(
+        (F.col("line") == 0) & (F.col("file_id") < 10)
+    )
+
+
+@query(
+    "catalog_join",
+    oracle=(
+        "SELECT l.hash, l.file_id, l.refs_num, d.lang, d.source "
+        f"FROM ({HASH_LINKS_CTE}) l JOIN documents d ON l.file_id = d.doc_id "
+        "WHERE l.refs_num > 1"
+    ),
+)
+def catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join index→catalog (#6, Repo.preload at hash.ex:47-48).
+    The catalog side is dimension-sized → broadcast hint, no shuffle of the
+    big index."""
+    links = _hash_links(spark, sf_dir).filter(F.col("refs_num") > 1)
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return links.join(broadcast(docs), links.file_id == docs.doc_id).select(
+        "hash", "file_id", "refs_num", "lang", "source"
+    )
+
+
+@query(
+    "semi_join_hashes",
+    oracle=(
+        "WITH c AS (SELECT doc_id, line, md5(chunk) AS hash FROM (" + chunks_cte() + ")),"
+        "hot AS (SELECT hash FROM c GROUP BY hash HAVING count(*) > 3) "
+        "SELECT c.doc_id, c.line, c.hash FROM c WHERE c.hash IN (SELECT hash FROM hot)"
+    ),
+)
+def semi_join_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list / semi-join (#9, hash.ex:91-93): all chunk occurrences whose
+    hash is 'hot' (>3 refs). left_semi keeps the probe side's columns only and
+    never duplicates rows."""
+    chunks = doc_chunks(spark, sf_dir).withColumn("hash", content_hash("chunk"))
+    hot = (
+        chunks.groupBy("hash").agg(F.count("*").alias("n")).filter(F.col("n") > 3).select("hash")
+    )
+    return chunks.join(hot, "hash", "left_semi").select("doc_id", "line", "hash")
+
+
+@query(
+    "anti_join_new_hashes",
+    oracle=(
+        "WITH c AS (SELECT doc_id, line, md5(chunk) AS hash, "
+        "  (SELECT source FROM documents d WHERE d.doc_id = x.doc_id) AS source "
+        "  FROM (" + chunks_cte() + ") x),"
+        "existing AS (SELECT DISTINCT hash FROM c WHERE source = 'src0') "
+        "SELECT DISTINCT hash FROM c WHERE source <> 'src0' "
+        "AND hash NOT IN (SELECT hash FROM existing)"
+    ),
+)
+def anti_join_new_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-ignoring upsert (#11, on_conflict: :nothing) = left_anti join
+    before append: hashes arriving from other sources that src0's index does
+    not already contain."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "source")
+    chunks = doc_chunks(spark, sf_dir).withColumn("hash", content_hash("chunk"))
+    chunks = chunks.join(broadcast(docs), "doc_id")
+    existing = chunks.filter(F.col("source") == "src0").select("hash").distinct()
+    incoming = chunks.filter(F.col("source") != "src0").select("hash").distinct()
+    return incoming.join(existing, "hash", "left_anti")
+
+
+@query(
+    "files_catalog",
+    oracle=(
+        # Catalog ops (#19, files.ex:15-23): the `files` table derived from
+        # documents metadata — one row per file with its chunking config.
+        "SELECT doc_id AS file_id, source AS filename, 16 AS bytes, 'md5' AS algorithm, "
+        "n_chars FROM documents WHERE n_chars > 200"
+    ),
+)
+def files_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.filter(F.col("n_chars") > 200).select(
+        F.col("doc_id").alias("file_id"),
+        F.col("source").alias("filename"),
+        F.lit(16).alias("bytes"),
+        F.lit("md5").alias("algorithm"),
+        "n_chars",
+    )

@@ -1,0 +1,1 @@
+"""Similarity / near-dup (SURVEY.md §2.B extensions): filled in Phase 4."""

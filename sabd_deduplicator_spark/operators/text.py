@@ -1,0 +1,1 @@
+"""Text analysis (SURVEY.md §2.B extensions): filled in Phase 4."""

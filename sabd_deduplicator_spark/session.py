@@ -1,0 +1,37 @@
+"""SparkSession builder used by tests and bench.
+
+The driver supplies its own session to ``__spark_entry__``; queries therefore
+never call this module — it exists so local runs get the same tuned config.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
+    """local[$SPARK_GRAFT_CPUS] session with AQE + Arrow enabled.
+
+    Settings chosen for scale posture (they all carry to a real cluster):
+    - AQE on: runtime shuffle coalescing + skew-join splitting (duplicated
+      content makes chunk-hash distributions skewed by construction).
+    - shuffle.partitions = 2x cores locally; on a 1000-executor cluster this
+      would be sized to ~128MB per post-shuffle partition — AQE coalesces down.
+    - Arrow for any pandas interchange (toPandas / pandas UDF paths).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()
