@@ -1,1 +1,547 @@
-"""Relational breadth (SURVEY.md §2.B): filled in Phase 3."""
+"""Relational breadth (SURVEY.md §2.B): joins, aggregates, windows, set ops,
+rollup/cube, top-k, scalar function coverage over the TPC-H-ish tables.
+
+The reference's relational surface is tiny (filter+project+sort over the
+index, test/deduplicator_test.exs:323-330; Ecto point queries); this module
+provides the full capability matrix a user of a query engine expects, each
+query oracle-checked against DuckDB.
+
+Scale notes (100 TB posture):
+- dimension joins (nation/region/customer-sized) carry explicit broadcast()
+  hints → no shuffle of the fact table;
+- fact-fact joins shuffle on the join key and AQE handles skew;
+- the band join is implemented with the bucketed-equi-join pattern (explode to
+  overlapping buckets, equi-join, residual filter) instead of a quadratic
+  theta join — this is THE difference between O(n²) and O(n) at scale;
+- top-k per group = row_number window, global top-k = rank window (tie-stable,
+  deterministic), never orderBy().limit() whose tie-breaking is partition-
+  placement-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.functions.numeric import dsum, dsum_sql
+from sabd_deduplicator_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Filters / projections / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project_orders",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS order_date "
+        "FROM orders WHERE o_orderstatus = 'O' "
+        "AND o_totalprice BETWEEN 1000 AND 80000 "
+        "AND o_orderpriority LIKE '1-%'"
+    ),
+)
+def filter_project_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & F.col("o_totalprice").between(1000, 80000)
+            & F.col("o_orderpriority").like("1-%")
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@query(
+    "case_price_bands",
+    oracle=(
+        "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band, "
+        "count(*) AS n, " + dsum_sql("o_totalprice") + " AS total "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def case_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "null_handling_customers",
+    oracle=(
+        "SELECT c_custkey, "
+        "coalesce(nullif(c_mktsegment, 'MACHINERY'), 'UNKNOWN') AS seg2, "
+        "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal, "
+        "(c_acctbal < 0) AS is_neg "
+        "FROM customer"
+    ),
+)
+def null_handling_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("UNKNOWN")).alias("seg2"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("pos_bal"),
+        (F.col("c_acctbal") < 0).alias("is_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multi_join_revenue_by_nation",
+    oracle=(
+        "SELECT n.n_name, r.r_name, count(*) AS n_orders, "
+        + dsum_sql("o.o_totalprice")
+        + " AS revenue "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY n.n_name, r.r_name"
+    ),
+)
+def multi_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way FK join (#6 generalized). customer/nation/region are
+    dimensions → broadcast, so the orders fact never shuffles for the join;
+    the only shuffle is the final aggregation."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "asof_latest_order_per_event",
+    oracle=(
+        "SELECT event_id, user_id, o_orderkey, order_date FROM ("
+        "  SELECT e.event_id, e.user_id, o.o_orderkey, "
+        "         strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, "
+        "         ROW_NUMBER() OVER (PARTITION BY e.event_id "
+        "           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+        "  FROM events e JOIN orders o "
+        "    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
+        ") WHERE rn = 1"
+    ),
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (capability the reference lacks, SURVEY.md §2.B joins row):
+    latest order at-or-before each event, per user. Physical plan: equi-join
+    on the key + residual time predicate, then row_number — the standard
+    scalable as-of pattern (the time filter prunes before the window)."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@query(
+    "range_join_close_prices",
+    oracle=(
+        "SELECT a.p_partkey, count(*) AS n_close "
+        "FROM part a JOIN part b "
+        "  ON b.p_retailprice BETWEEN a.p_retailprice - 0.5 AND a.p_retailprice + 0.5 "
+        " AND a.p_partkey <> b.p_partkey "
+        "GROUP BY a.p_partkey"
+    ),
+)
+def range_join_close_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join via the bucketed-equi-join pattern: each left row is
+    exploded to the integer price buckets its ±0.5 band can overlap, the join
+    is an EQUI join on bucket, and the true band predicate is a residual
+    filter. Turns Spark's O(n²) broadcast-nested-loop theta join into a
+    shuffle hash join — the only plan that survives 100× scale."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    left = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("p_retailprice") - 0.5).cast("long"),
+                F.floor(F.col("p_retailprice") + 0.5).cast("long"),
+            )
+        ),
+    )
+    right = p.select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_retailprice").alias("b_price"),
+    ).withColumn("bucket", F.floor(F.col("b_price")).cast("long"))
+    pairs = left.join(right, "bucket").filter(
+        (F.col("b_price") >= F.col("p_retailprice") - 0.5)
+        & (F.col("b_price") <= F.col("p_retailprice") + 0.5)
+        & (F.col("p_partkey") != F.col("b_partkey"))
+    )
+    return pairs.groupBy("p_partkey").agg(F.count("*").alias("n_close"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
+)
+_CHARGE = _DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(12,2))"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        + dsum_sql("l_quantity")
+        + " AS sum_qty, "
+        + dsum_sql("l_extendedprice")
+        + " AS sum_base_price, "
+        f"CAST(sum({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price, "
+        f"CAST(sum({_CHARGE}) AS DOUBLE) AS sum_charge, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty, "
+        "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary (SURVEY.md §2.C) — the canonical
+    wide-aggregate: one scan, partial+final hash agg, all arithmetic in exact
+    decimals so the hash gate can't be tripped by float reassociation."""
+    l = table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    tax1 = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(ext * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(ext * disc1 * tax1).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rollup_orders",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+        "count(*) AS n, " + dsum_sql("o_totalprice") + " AS total "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + grouping_id (capability extension; reference has nothing like
+    multi-level aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+
+
+@query(
+    "cube_events",
+    oracle=(
+        "SELECT event_type, CAST(year(ts) AS INT) AS yr, "
+        "CAST(GROUPING(event_type, year(ts)) AS BIGINT) AS gid, "
+        "count(*) AS n, " + dsum_sql("value") + " AS total_value "
+        "FROM events GROUP BY CUBE (event_type, year(ts))"
+    ),
+)
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn(
+        "yr", F.year("ts").cast("int")
+    )
+    return e.cube("event_type", "yr").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        dsum("value").alias("total_value"),
+    ).select("event_type", "yr", "gid", "n", "total_value")
+
+
+@query(
+    "distinct_count_parts",
+    oracle=(
+        "SELECT p_brand, count(DISTINCT p_type) AS n_types, "
+        "count(*) AS n_parts, CAST(min(p_size) AS INT) AS min_size, "
+        "CAST(max(p_size) AS INT) AS max_size "
+        "FROM part GROUP BY p_brand"
+    ),
+)
+def distinct_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.count("*").alias("n_parts"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@query("approx_distinct_users")  # no oracle: HLL++ sketch ≠ DuckDB's approx sketch
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the scale path for distinct-chunk estimation
+    (SURVEY.md §2.B aggregations row). Sketches differ across engines by
+    design → rows-only driver check."""
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_running_total",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq "
+        "FROM events"
+    ),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit rows frame (SURVEY.md §2.B windows row).
+    Order is total — (ts, event_id) — so the cumulative decimal sums are
+    deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        F.row_number().over(wseq).cast("long").alias("seq"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "CAST(CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS delta_prev, "
+        "lead(event_type) OVER w AS next_type "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        (val - F.lag(val).over(w)).cast("double").alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "topk_customers_by_spend",
+    oracle=(
+        "SELECT c_custkey, spend, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT c_custkey, spend, RANK() OVER (ORDER BY spend DESC) AS rnk FROM ("
+        "    SELECT o_custkey AS c_custkey, " + dsum_sql("o_totalprice") + " AS spend "
+        "    FROM orders GROUP BY o_custkey)"
+        ") WHERE rnk <= 10"
+    ),
+)
+def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: rank() is tie-stable (deterministic result set), unlike
+    orderBy().limit() whose tie selection depends on partition placement."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"))
+    return (
+        spend.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@query(
+    "topk_orders_per_priority",
+    oracle=(
+        "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+        "  SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+        "    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+        ") WHERE rn <= 3"
+    ),
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number with a total order (price desc, key)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_except_customers",
+    oracle=(
+        "SELECT DISTINCT o_custkey AS c_custkey FROM orders "
+        "EXCEPT "
+        "SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'"
+    ),
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with orders but no finished ('F') order."""
+    o = table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    f_c = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return all_c.subtract(f_c)
+
+
+@query(
+    "set_intersect_users",
+    oracle=(
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+    ),
+)
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+@query(
+    "set_union_nationkeys",
+    oracle=(
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "UNION "
+        "SELECT s_nationkey AS nationkey FROM supplier"
+    ),
+)
+def set_union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function breadth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs_parts",
+    oracle=(
+        "SELECT p_partkey, upper(p_name) AS name_upper, "
+        "substring(p_name, 1, 5) AS name_prefix, "
+        "string_split(p_name, ' ')[1] AS first_word, "
+        "CAST(length(p_name) AS INT) AS name_len, "
+        "p_brand || ':' || p_type AS brand_type, "
+        "lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded, "
+        "regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num "
+        "FROM part"
+    ),
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "date_funcs_orders",
+    oracle=(
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, "
+        "CAST(month(o_orderdate) AS INT) AS mo, "
+        "CAST(day(o_orderdate) AS INT) AS dy, "
+        "CAST(quarter(o_orderdate) AS INT) AS qtr, "
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, "
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002, "
+        "strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month "
+        "FROM orders WHERE o_orderkey < 1000"
+    ),
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+        F.date_format(F.add_months(F.col("o_orderdate"), 1), "yyyy-MM-dd").alias("next_month"),
+    )
