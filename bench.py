@@ -38,6 +38,7 @@ def main() -> None:
     total = 0.0
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
+        print(f"bench: running {name}", file=sys.stderr)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TABLES = (
     "region",
@@ -32,14 +32,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright
-        # (PARQUET_TYPE_ILLEGAL). Read nanos as long, truncate to micros —
-        # the same truncation DuckDB applies, so oracles agree.
+        # (PARQUET_TYPE_ILLEGAL). Read nanos as long, truncate to micros (the
+        # same truncation DuckDB applies), and build a TIMESTAMP_NTZ via pure
+        # interval arithmetic — no session-timezone dependence anywhere, so
+        # results match the naive values DuckDB sees whatever TZ the driver's
+        # session runs in.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_ntz '1970-01-01 00:00:00' + "
+                    "make_interval(0, 0, 0, 0, 0, 0, cast(ts div 1000 as decimal(18,0)) / 1000000)"
+                ),
+            )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Parquet timestamps here are naive (isAdjustedToUTC=false); Spark 4
+    reads them as TIMESTAMP_NTZ by default (inferTimestampNTZ). If a session
+    disables that, the LTZ round-trip below recovers the same naive wall
+    clock; queries therefore always see NTZ, matching the DuckDB oracle."""
+    ts_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)]
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -53,6 +53,14 @@ def first_occurrence(df: DataFrame, hash_col: str = "hash", *order_cols: str) ->
     )
 
 
+# Lines-per-file bound for the packed (file_id, line) ordinal. 2^24 = 16M
+# chunks per file; file_id then ranges to 2^38 — both far beyond any input
+# here (the reference's pointer grammar caps at 10^4 lines, SURVEY.md §4
+# hazard 2). Packing matters because min(struct(...)) falls back to a
+# SortAggregate, while min(long) stays a HashAggregate with map-side combine.
+_LINE_BITS = 24
+
+
 def build_hash_links(
     chunks: DataFrame,
     chunk_col: str = "chunk",
@@ -62,16 +70,19 @@ def build_hash_links(
 ) -> DataFrame:
     """chunks(file_id, line, chunk) → hash_links(hash, file_id, line, refs_num).
 
-    One shuffle (by hash), map-side partial agg, no window sort.
+    One shuffle (by hash), hash aggregate with map-side partial agg, no
+    window sort: the first occurrence is min(file_id << 24 | line), a plain
+    long min (lexicographic on the packed pair).
     """
+    packed = (F.col(file_col).cast("long") * (1 << _LINE_BITS)) + F.col(line_col)
     hashed = chunks.withColumn("hash", content_hash(chunk_col, algorithm))
     return hashed.groupBy("hash").agg(
-        F.min(F.struct(file_col, line_col)).alias("_first"),
+        F.min(packed).alias("_first"),
         F.count("*").alias("refs_num"),
     ).select(
         "hash",
-        F.col(f"_first.{file_col}").alias(file_col),
-        F.col(f"_first.{line_col}").alias(line_col),
+        F.expr(f"shiftright(_first, {_LINE_BITS})").alias(file_col),
+        F.expr(f"_first & {(1 << _LINE_BITS) - 1}").alias(line_col),
         "refs_num",
     )
 

@@ -149,24 +149,50 @@ def multi_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (capability the reference lacks, SURVEY.md §2.B joins row):
-    latest order at-or-before each event, per user. Physical plan: equi-join
-    on the key + residual time predicate, then row_number — the standard
-    scalable as-of pattern (the time filter prunes before the window)."""
-    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    latest order at-or-before each event, per user.
+
+    Physical plan: the UNION-WINDOW as-of — tag both sides, sort once per key
+    by (time, side, orderkey) and carry the last-seen order with
+    last(ignorenulls). Cost O((n+m) log(n+m)) with ONE shuffle.
+
+    The naive equi-join + time filter + row_number is quadratic in
+    rows-per-key: here 150 distinct users × ~1000 orders × ~700 events per
+    user ≈ 10^8 intermediate rows at sf0.1 (measured: it blew the bench up
+    from seconds to minutes) — exactly the plan that dies at 100 TB.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(1).alias("side"),  # events sort AFTER orders at equal time (<=)
     )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        )
+    o = table(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = o.unionByName(e).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "side",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+    )
+    return tagged.filter((F.col("side") == 1) & F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )
 
 

@@ -1,1 +1,243 @@
-"""Text analysis (SURVEY.md §2.B extensions): filled in Phase 4."""
+"""Text analysis for LLM-data pipelines (task extension; SURVEY.md §2.B):
+token statistics, n-grams, quality scoring, language-ID heuristic, document
+fingerprinting (order-insensitive content hash + 32-bit SimHash).
+
+Everything is built-in array/string expressions inside whole-stage codegen —
+no Python UDFs. At 100 TB these are narrow per-row transforms (zero shuffle)
+followed by standard hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenizer — the `documents.text` corpus is space-separated
+    tokens (TESTDATA.md). A BPE-ish regex tokenizer variant is
+    `token_count_bpe_ish` below."""
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+@query(
+    "text_token_counts",
+    oracle=(
+        "SELECT doc_id, lang, "
+        "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct, "
+        "CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)"
+        " / len(string_split(text, ' ')) AS avg_token_len "
+        "FROM documents"
+    ),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        (
+            F.expr("aggregate(tokens, 0, (a, t) -> a + length(t))").cast("double")
+            / F.size("tokens")
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "token_count_bpe_ish",
+    oracle=(
+        # BPE-ish proxy: word tokens + ceil(chars/4) sub-token estimate — the
+        # standard "~4 chars per token" heuristic, exact-arithmetic so both
+        # engines agree.
+        "SELECT doc_id, "
+        "CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9]+')) AS INT) AS n_words, "
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_subtokens "
+        "FROM documents"
+    ),
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", "[^a-zA-Z0-9]+")).alias("n_words"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_subtokens"),
+    )
+
+
+@query(
+    "text_ngram_counts",
+    oracle=(
+        "SELECT bigram, count(*) AS n FROM ("
+        "  SELECT unnest(CASE WHEN len(t) < 2 THEN [] "
+        "    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS bigram "
+        "  FROM (SELECT string_split(text, ' ') AS t FROM documents)"
+        ") GROUP BY bigram HAVING count(*) >= 5"
+    ),
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency (shingling primitive for MinHash). Spark arrays are
+    0-indexed, DuckDB 1-indexed; both guard the <2-token case explicitly
+    (sequence(0,-1) is descending in Spark, not empty)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    bigrams = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(tokens) - 2), "
+        "i -> concat(tokens[i], ' ', tokens[i+1])) END"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t) AS stop_ratio, "
+        "CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio, "
+        "CAST(len(list_filter(t, x -> length(x) > 6)) AS DOUBLE) / len(t) AS long_ratio, "
+        "(n_chars >= 100 AND n_chars <= 2000) AS length_ok "
+        "FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)"
+    ),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals (stopword ratio, lexical diversity, long-token share,
+    length gate) — the standard pre-training corpus filters."""
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        (
+            F.expr(f"size(filter(tokens, x -> array_contains({stop_arr}, x)))").cast("double")
+            / F.size("tokens")
+        ).alias("stop_ratio"),
+        (F.size(F.array_distinct("tokens")).cast("double") / F.size("tokens")).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.expr("size(filter(tokens, x -> length(x) > 6))").cast("double")
+            / F.size("tokens")
+        ).alias("long_ratio"),
+        F.col("n_chars").between(100, 2000).alias("length_ok"),
+    )
+
+
+# Tiny per-"language" marker inventories for the heuristic language-ID —
+# the corpus vocabulary is synthetic, so the markers are deliberately generic;
+# what matters is the operator shape (score → argmax), not linguistics.
+_MARKERS = {
+    "vocab_a": ("the", "data", "query", "table", "row"),
+    "vocab_b": ("spark", "group", "join", "hash", "key"),
+    "vocab_c": ("fast", "slow", "small", "large", "batch"),
+}
+
+
+def _marker_hits_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({lst})))"
+
+
+@query(
+    "text_language_guess",
+    oracle=(
+        "SELECT doc_id, lang, CASE "
+        f"WHEN {_marker_hits_sql(_MARKERS['vocab_a'])} >= {_marker_hits_sql(_MARKERS['vocab_b'])} "
+        f" AND {_marker_hits_sql(_MARKERS['vocab_a'])} >= {_marker_hits_sql(_MARKERS['vocab_c'])} THEN 'vocab_a' "
+        f"WHEN {_marker_hits_sql(_MARKERS['vocab_b'])} >= {_marker_hits_sql(_MARKERS['vocab_c'])} THEN 'vocab_b' "
+        "ELSE 'vocab_c' END AS lang_guess "
+        "FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)"
+    ),
+)
+def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-count language-ID heuristic: score per vocabulary, argmax
+    with a deterministic tie order."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        return F.expr(f"size(filter(tokens, x -> array_contains({arr}, x)))")
+
+    a, b, c = (hits(_MARKERS[k]) for k in ("vocab_a", "vocab_b", "vocab_c"))
+    guess = (
+        F.when((a >= b) & (a >= c), "vocab_a").when(b >= c, "vocab_b").otherwise("vocab_c")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=(
+        "SELECT doc_id, "
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_fingerprint, "
+        "list_aggregate(list_transform(string_split(text, ' '), x -> md5(x)), 'min') AS min_token_hash "
+        "FROM documents"
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: an order-insensitive content hash (md5 of the
+    sorted distinct token set — bag-of-words identity) and a 1-permutation
+    MinHash (min of per-token hashes)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct("tokens")), " ")).alias(
+            "set_fingerprint"
+        ),
+        F.array_min(F.expr("transform(tokens, x -> md5(x))")).alias("min_token_hash"),
+    )
+
+
+@query(
+    "text_simhash32",
+    oracle=(
+        # 32-bit SimHash from md5 nibbles: bit b of token t = high bit of hex
+        # nibble b+1; per-doc bit b is the majority vote (+1/-1) over tokens.
+        "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM ("
+        "  SELECT doc_id, b, sum(CASE WHEN substring(h, b + 1, 1) IN "
+        "    ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s"
+        "  FROM ("
+        "    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents"
+        "  ), (SELECT unnest(range(0, 32)) AS b)"
+        "  GROUP BY doc_id, b"
+        ") GROUP BY doc_id"
+    ),
+)
+def text_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint (near-dup primitive): explode tokens × bit
+    positions, majority-vote each bit, reassemble as a BIGINT. All expressions
+    JVM-side; at scale this is two hash aggregates (doc,bit) → (doc)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode("tokens").alias("t")).withColumn(
+        "h", F.md5("t")
+    )
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    voted = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(
+                F.expr("substring(h, b + 1, 1)").isin(*"89abcdef"), 1
+            ).otherwise(-1)
+        ).alias("s")
+    )
+    return voted.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), 31 - b)")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )

@@ -1,1 +1,121 @@
-"""Events time/JSON queries (SURVEY.md §2.B extensions): filled in Phase 4."""
+"""Events time-bucket + JSON queries (SURVEY.md §2.B streaming/JSON rows).
+
+These are the BATCH twins of the reference's micro-batched stateful stream
+(/root/reference/lib/deduplicator.ex:59-82): tumbling/sliding windows are
+`date_trunc`/`F.window` bucketing; the Structured Streaming versions (with
+watermarks and cross-batch dedup state) live in
+sabd_deduplicator_spark/streaming/ and stay unregistered because the driver's
+oracle is batch SQL (SURVEY.md §7 'what's hard' (d)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.functions.numeric import dsum, dsum_sql
+from sabd_deduplicator_spark.registry import query
+
+
+@query(
+    "events_tumbling_1h",
+    oracle=(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, "
+        "event_type, count(*) AS n, " + dsum_sql("value") + " AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window — batch form is a date_trunc group-by (one shuffle,
+    partial agg; at 100 TB this is the same plan per day/hour partition)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+
+
+@query(
+    "events_sliding_2h",
+    oracle=(
+        # A point at time t falls into the 2h/1h-slide windows starting at
+        # trunc_hour(t) and trunc_hour(t) - 1h.
+        "SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, "
+        "count(*) AS n, " + dsum_sql("value") + " AS total_value FROM ("
+        "  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, value"
+        "  FROM events"
+        ") GROUP BY 1"
+    ),
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h size, 1h slide) via F.window — Spark expands each
+    row into its overlapping windows, exactly the unnest the oracle spells
+    out."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val "
+        "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
+    ),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over string-encoded props (SURVEY.md §2.B)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.filter(k.isNotNull()).select(
+        "event_id", k.cast("int").alias("k_val")
+    )
+
+
+@query(
+    "events_json_agg",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, "
+        "count(*) AS n FROM events GROUP BY event_type"
+    ),
+)
+def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "events_gap_to_prev",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "CAST(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_sec "
+        "FROM events"
+    ),
+)
+def events_gap_to_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user — lag + timestamp arithmetic (sessionization
+    building block; the streaming sessionizer uses the same gap logic)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.date_trunc("second", F.lag("ts").over(w))
+    # DuckDB's date_diff('second', ...) counts second-boundary crossings ==
+    # truncate both then diff; timestampdiff on NTZ is timezone-free.
+    gap = F.expr("timestampdiff(SECOND, __prev, date_trunc('second', ts))")
+    return (
+        e.withColumn("__prev", prev)
+        .select("event_id", "user_id", gap.cast("long").alias("gap_sec"))
+    )

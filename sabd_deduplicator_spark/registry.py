@@ -42,6 +42,7 @@ def load_all_queries() -> None:
         dedup,
         encode,
         lookups,
+        multimodal,
         relational,
         similarity,
         text,

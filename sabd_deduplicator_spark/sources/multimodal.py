@@ -1,0 +1,120 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(task extension).
+
+Design for 100 TB:
+- payloads are BinaryType columns, NEVER strings; metadata is typed columns
+  so filters on (media_type, width, duration) prune at the parquet scan
+  without touching payload bytes (column pruning keeps the scan narrow);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  mapInPandas — one Python worker per partition, batch-at-a-time, no
+  per-row serialization;
+- the actual codec step is STUBBED here (no image/audio libs in this
+  container): `decode_image` raises NotImplementedError unless a decoder is
+  importable, and `extract_media_features` computes deterministic
+  payload-level features (size, content hash, byte histogram stats) so the
+  Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+  is real and fully tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "blob_id bigint, media_type string, n_bytes bigint, payload_md5 string, "
+    "mean_byte double, max_byte int, width int, height int"
+)
+
+
+def _decode_image(payload: bytes) -> "object":
+    """Real decoder slot. Import-gated: works if Pillow exists, otherwise a
+    clearly-marked stub (this container ships no image libs)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "image decode requires Pillow; payload-level features below do "
+            "not need it — plug a decoder in here on a real cluster"
+        ) from exc
+    return Image.open(io.BytesIO(payload))
+
+
+def extract_media_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Deterministic payload-level features stand in for codec output; the
+    iterator-of-batches signature is exactly what a real decoder uses (swap
+    the body of `featurize`), and Arrow moves the binary column zero-copy.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes, md5s, means, maxes = [], [], [], []
+            for p in payloads:
+                b = bytes(p) if p is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n_bytes.append(len(b))
+                md5s.append(hashlib.md5(b).hexdigest())
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+                maxes.append(int(arr.max()) if len(arr) else 0)
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    "payload_md5": md5s,
+                    "mean_byte": means,
+                    "max_byte": maxes,
+                    "width": pdf["meta_width"],
+                    "height": pdf["meta_height"],
+                }
+            )
+
+    return blobs.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(blobs: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling PLUMBING: explode a byte-offset lattice per blob (one
+    row per would-be frame) — the distributed shape of video frame sampling,
+    with the codec left to `_decode_image`-style plugs. Pure expressions."""
+    offsets = F.expr(
+        f"CASE WHEN payload IS NULL OR length(payload) = 0 THEN array() "
+        f"ELSE transform(sequence(0, cast(length(payload) / {every_n_bytes} AS INT)), "
+        f"i -> i * {every_n_bytes}) END"
+    )
+    return blobs.select(
+        "blob_id",
+        "media_type",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )
+
+
+def synthesize_media_blobs(spark, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table derived from documents (no media files
+    ship with the testdata): payload = text bytes, metadata from n_chars.
+    Gives the multimodal path real binary data to chew on."""
+    from sabd_deduplicator_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("blob_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.pmod(F.col("n_chars"), F.lit(640)).cast("int").alias("meta_width"),
+        F.pmod(F.col("n_chars") * 7, F.lit(480)).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 33).cast("long").alias("meta_duration_ms"),
+    )

@@ -1,0 +1,62 @@
+"""Sinks (SURVEY.md §2.A #10, #11, #17 and §2.B sinks row).
+
+Reference sinks: buffered binary writes of the encoded file
+(/root/reference/lib/deduplicator.ex:132), bulk Postgres insert_all
+(/root/reference/lib/deduplicator/hash.ex:66-79), conflict-ignoring upsert
+(on_conflict: :nothing), optional zip compression
+(/root/reference/lib/deduplicator/files.ex:64-76 — which is buggy: writes zip
+but reads gzip; we use Parquet codecs instead, SURVEY.md §4 hazard 5).
+
+Scale posture:
+- append_parquet: codec option (zstd default — best ratio/speed tradeoff);
+- partitioned writes: partitionBy low-cardinality keys → partition pruning;
+- bucketed tables: bucketBy(hash) → bucket-pruned, shuffle-free joins on the
+  index key (replaces the reference's Postgres B-tree PK);
+- append_if_absent: the conflict-ignoring upsert as left_anti + append —
+  same observable semantics as `on_conflict: :nothing`, set-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def append_parquet(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    df.write.mode("append").option("compression", compression).parquet(path)
+
+
+def overwrite_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def save_bucketed_table(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
+) -> None:
+    """Persist bucketed by the join key: two tables bucketed the same way
+    join with ZERO shuffle — the scalable stand-in for the reference's index
+    B-tree. (Requires a warehouse-backed catalog; saveAsTable, not path.)"""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def append_if_absent(
+    new_rows: DataFrame, existing: DataFrame, key: str, path: str,
+    compression: str = "zstd",
+) -> DataFrame:
+    """Conflict-ignoring upsert (#11): keep only keys not already present,
+    then append. Returns the appended subset (for verification). left_anti is
+    a single shuffle (or broadcast when `existing` keys are small)."""
+    fresh = new_rows.join(existing.select(key).distinct(), key, "left_anti")
+    fresh.write.mode("append").option("compression", compression).parquet(path)
+    return fresh

@@ -1,0 +1,94 @@
+"""Plan-quality gates: correctness tests say WHAT comes out; these pin HOW —
+the physical properties that decide whether a plan survives 100× scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from sabd_deduplicator_spark import registry
+from sabd_deduplicator_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_row_python_udf,
+    pushed_filters,
+    read_schema_columns,
+)
+
+registry.load_all_queries()
+
+
+def q(name, spark, sf_dir):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned from every
+    registered query; only Arrow-batched nodes are acceptable Python."""
+    offenders = [
+        name
+        for name, fn in registry.QUERIES.items()
+        if has_row_python_udf(fn(spark, sf_dir))
+    ]
+    assert offenders == []
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """customer/nation/region joins must be broadcast: the orders fact table
+    never shuffles for the join."""
+    assert has_broadcast_join(q("multi_join_revenue_by_nation", spark, sf_dir))
+    assert has_broadcast_join(q("catalog_join", spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    pf = pushed_filters(q("filter_project_orders", spark, sf_dir))
+    assert "o_orderstatus" in pf and "o_totalprice" in pf
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 4-column projection must not read the whole orders table."""
+    cols = set(read_schema_columns(q("filter_project_orders", spark, sf_dir)))
+    assert "o_orderpriority" in cols or len(cols) <= 5
+    assert "o_comment" not in cols  # not even present, but guard regardless
+    cols_docs = set(read_schema_columns(q("dedup_first_occurrence", spark, sf_dir)))
+    assert cols_docs <= {"doc_id", "text"}
+
+
+def test_hash_links_single_shuffle(spark, sf_dir):
+    """THE core dedup aggregation: exactly one exchange (by hash) — partial
+    aggregation must absorb duplicates map-side, no window sort."""
+    df = q("dedup_hash_links", spark, sf_dir)
+    assert count_exchanges(df) <= 1
+    assert "Window" not in formatted_plan(df)
+
+
+def test_asof_is_not_quadratic(spark, sf_dir):
+    """The as-of must be the union-window plan (one join-free window pass),
+    not a time-range join that multiplies rows per key."""
+    plan = formatted_plan(q("asof_latest_order_per_event", spark, sf_dir))
+    assert "Join" not in plan  # union + window only
+    assert "Window" in plan
+
+
+def test_band_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Bucketed band join must hash-join on the bucket key; a
+    BroadcastNestedLoopJoin here would be the quadratic plan."""
+    plan = formatted_plan(q("range_join_close_prices", spark, sf_dir))
+    assert "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("dedup_refcount", 1),
+        ("q1_pricing_summary", 1),
+        ("multi_join_revenue_by_nation", 1),
+        ("events_tumbling_1h", 1),
+        ("chunk_scan_fixed", 0),
+        ("text_fingerprint", 0),
+        ("vector_norms", 0),
+    ],
+)
+def test_shuffle_budget(name, max_exchanges, spark, sf_dir):
+    """Shuffle-count regression gate for headline queries."""
+    assert count_exchanges(q(name, spark, sf_dir)) <= max_exchanges

@@ -1,0 +1,124 @@
+"""Connector tests: binaryFile ingestion + binary chunking, jsonl/csv round
+trips, parquet sinks (codec, partitioned), conflict-ignoring append, and the
+multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.sources.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    synthesize_media_blobs,
+)
+from sabd_deduplicator_spark.sources.readers import (
+    chunk_binary_content,
+    read_binary_files,
+    read_csv,
+    read_jsonl,
+)
+from sabd_deduplicator_spark.sources.writers import (
+    append_if_absent,
+    append_parquet,
+    overwrite_parquet,
+)
+
+
+@pytest.fixture()
+def blob_dir(tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"0123456789abcdef" * 3 + b"xyz")  # 51 B: short tail
+    (d / "b.bin").write_bytes(b"")  # empty file edge case
+    (d / "c.bin").write_bytes(bytes(range(256)))
+    return str(d)
+
+
+def test_binary_file_chunking(spark, blob_dir):
+    files = read_binary_files(spark, blob_dir, glob="*.bin")
+    names = {r["path"].rsplit("/", 1)[-1] for r in files.select("path").collect()}
+    assert {"a.bin", "c.bin"} <= names  # binaryFile may omit zero-byte files
+    chunks = chunk_binary_content(files, size=16)
+    per_file = {
+        r["path"].rsplit("/", 1)[-1]: (r["n"], r["total"])
+        for r in chunks.groupBy("path")
+        .agg(F.count("*").alias("n"), F.sum(F.length("chunk")).alias("total"))
+        .collect()
+    }
+    assert per_file["a.bin"] == (4, 51)  # ceil(51/16)=4, sizes sum to input
+    assert "b.bin" not in per_file  # empty file → zero chunks, no phantom rows
+    assert per_file["c.bin"] == (16, 256)
+    # only the last chunk per file may be short
+    bad = chunks.withColumn(
+        "maxline", F.max("line").over(__import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("path"))
+    ).filter((F.length("chunk") != 16) & (F.col("line") != F.col("maxline")))
+    assert bad.count() == 0
+
+
+def test_jsonl_csv_roundtrip(spark, tmp_path):
+    p_json = str(tmp_path / "j")
+    p_csv = str(tmp_path / "c")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    df.write.json(p_json)
+    df.write.option("header", "true").csv(p_csv)
+    assert sorted(read_jsonl(spark, p_json, "id long, name string").collect()) == sorted(df.collect())
+    got_csv = read_csv(spark, p_csv, schema="id long, name string")
+    assert sorted(got_csv.collect()) == sorted(df.collect())
+
+
+def test_parquet_sinks_and_append_if_absent(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(1, "x", "h1"), (2, "y", "h2")], "id long, v string, hash string"
+    )
+    path = str(tmp_path / "sink")
+    overwrite_parquet(base, path, compression="zstd")
+    # conflict-ignore: one dup hash, one fresh
+    incoming = spark.createDataFrame(
+        [(3, "z", "h2"), (4, "w", "h3")], "id long, v string, hash string"
+    )
+    appended = append_if_absent(incoming, spark.read.parquet(path), "hash", path)
+    assert [r["hash"] for r in appended.collect()] == ["h3"]
+    final = spark.read.parquet(path)
+    assert final.count() == 3  # h1, h2 (original), h3 — h2 dup ignored
+    assert final.select("hash").distinct().count() == 3
+
+    # partitioned write → partition pruning applies
+    part_path = str(tmp_path / "parts")
+    overwrite_parquet(final.withColumn("p", F.col("hash")), part_path, partition_by=["p"])
+    pruned = spark.read.parquet(part_path).filter(F.col("p") == "h3")
+    assert pruned.count() == 1
+
+
+def test_media_feature_extract_shapes(spark, sf_dir):
+    blobs = synthesize_media_blobs(spark, sf_dir)
+    feats = extract_media_features(blobs)
+    rows = feats.collect()
+    assert len(rows) == blobs.count()
+    # payload md5 must equal md5 of the source text (deterministic fake)
+    src = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("m"))
+        .collect()
+    )
+    for r in rows[:20]:
+        assert r["payload_md5"] == src[r["blob_id"]]
+        assert r["n_bytes"] > 0
+        assert 0 <= r["mean_byte"] <= 255
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    blobs = synthesize_media_blobs(spark, sf_dir)
+    frames = frame_sample_plan(blobs, every_n_bytes=64)
+    j = frames.groupBy("blob_id").agg(F.count("*").alias("n_frames")).join(
+        blobs.select("blob_id", F.length("payload").alias("len")), "blob_id"
+    )
+    bad = j.filter(F.col("n_frames") != (F.col("len") / 64).cast("int") + 1)
+    assert bad.count() == 0
+
+
+def test_decode_stub_raises(spark):
+    from sabd_deduplicator_spark.sources.multimodal import _decode_image
+
+    with pytest.raises((NotImplementedError, Exception)):
+        _decode_image(b"not-an-image")

@@ -1,0 +1,87 @@
+"""Streaming twins must agree with the batch operators on the same data
+(the reference's cross-batch dedup state, re-expressed as Structured
+Streaming state stores — SURVEY.md §2.A #20)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.streaming.dedup_stream import (
+    run_to_memory_sink,
+    stream_first_occurrence,
+    stream_refcounts,
+    stream_windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, sf_dir, tmp_path_factory):
+    """documents split across several files so multiple micro-batches fire."""
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, docs_stream_dir):
+    got = run_to_memory_sink(
+        stream_first_occurrence(spark, docs_stream_dir), "dedup_sink"
+    )
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.md5("text").alias("hash")
+    ).distinct()
+    assert got.select("hash").distinct().count() == batch.count()
+    # state store kept exactly one row per hash
+    assert got.groupBy("hash").count().filter("count > 1").count() == 0
+
+
+def test_stream_refcounts_match_batch(spark, sf_dir, docs_stream_dir):
+    got = run_to_memory_sink(
+        stream_refcounts(spark, docs_stream_dir), "refs_sink", output_mode="complete"
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy(F.md5("text").alias("hash"))
+        .agg(F.count("*").alias("refs_num"))
+    )
+    diff = got.join(batch, "hash").filter(
+        got.refs_num != batch.refs_num
+    )
+    assert got.count() == batch.count()
+    assert diff.count() == 0
+
+
+def test_stream_windowed_counts(spark, sf_dir, tmp_path_factory):
+    from sabd_deduplicator_spark.catalog import table
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    events = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", F.col("value")
+    )
+    events.repartition(4).write.mode("overwrite").parquet(out)
+
+    got = run_to_memory_sink(
+        stream_windowed_event_counts(spark, out),
+        "win_sink",
+        output_mode="append",
+    )
+    batch = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+    # append mode emits only watermark-closed windows; every emitted row must
+    # match the batch result exactly
+    j = got.join(
+        batch.select(F.col("w.start").alias("win_start"), "event_type", F.col("n").alias("bn")),
+        ["win_start", "event_type"],
+    )
+    assert j.count() == got.count()
+    assert j.filter(F.col("n") != F.col("bn")).count() == 0
