@@ -422,15 +422,27 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: rank() is tie-stable (deterministic result set), unlike
-    orderBy().limit() whose tie selection depends on partition placement."""
+    """Global top-k, scale-safe: a global rank() window moves EVERYTHING to
+    one partition, so first compute the k-th value with TakeOrderedAndProject
+    (orderBy+limit — per-partition top-k merged on the driver, exact for the
+    threshold), prefilter to spend >= that value (a handful of rows), and
+    only rank the survivors. rank() keeps ties deterministic; the result is
+    identical to ranking the full table."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         dsum("o_totalprice").alias("spend")
     )
+    kth = (
+        spend.orderBy(F.desc("spend"))
+        .limit(10)
+        .agg(F.min("spend").alias("kth"))
+    )
+    survivors = spend.join(
+        broadcast(kth), spend.spend >= kth.kth
+    ).select("c_custkey", "spend")
     w = Window.orderBy(F.desc("spend"))
     return (
-        spend.withColumn("rnk", F.rank().over(w).cast("long"))
+        survivors.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
     )
 
@@ -515,6 +527,78 @@ def set_union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Scalar function breadth
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_events_by_type",
+    oracle=(
+        "SELECT user_id, "
+        "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS clicks, "
+        "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS views, "
+        "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases, "
+        + dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE NULL END")
+        + " AS purchase_value "
+        "FROM events GROUP BY user_id"
+    ),
+)
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — one scan, one shuffle, fixed output
+    schema (df.groupBy().pivot() needs a distinct-values pass or a hardcoded
+    list anyway; FILTER-style aggs keep the plan static and oracle-portable)."""
+    e = table(spark, sf_dir, "events")
+    is_t = lambda t: F.col("event_type") == t  # noqa: E731
+    return e.groupBy("user_id").agg(
+        F.count(F.when(is_t("click"), 1)).alias("clicks"),
+        F.count(F.when(is_t("view"), 1)).alias("views"),
+        F.count(F.when(is_t("purchase"), 1)).alias("purchases"),
+        F.sum(
+            F.when(is_t("purchase"), F.col("value")).cast("decimal(18,2)")
+        ).cast("double").alias("purchase_value"),
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        + dsum_sql("l_quantity")
+        + " AS sum_qty "
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    ),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql entry point (same
+    Catalyst pipeline as the DataFrame API — SURVEY.md §3.3)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem_v GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@query(
+    "exists_subquery_orders",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "              AND l.l_quantity >= 49) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey "
+        "              AND l2.l_discount > 0.09)"
+    ),
+)
+def exists_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — decorrelated by Catalyst into
+    left-semi + left-anti joins (the set-oriented probe pattern, #4/#11)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v2")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders_v o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem_v2 l WHERE l.l_orderkey = o.o_orderkey "
+        "              AND l.l_quantity >= 49) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem_v2 l2 WHERE l2.l_orderkey = o.o_orderkey "
+        "              AND l2.l_discount > 0.09)"
+    )
 
 
 @query(

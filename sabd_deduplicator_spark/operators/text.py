@@ -198,6 +198,38 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 16  # rolling window width (chars)
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=(
+        # Rolling-hash document fingerprint (winnowing-lite): hash every
+        # 16-char sliding window, keep the min — robust to local edits,
+        # O(len) per doc in both engines.
+        f"SELECT doc_id, list_aggregate(list_transform(range(1, greatest(length(text) - {WINNOW_W} + 1, 0) + 1), "
+        f"i -> md5(substring(text, CAST(i AS INT), {WINNOW_W}))), 'min') AS winnow_fp, "
+        f"CAST(greatest(length(text) - {WINNOW_W} + 1, 0) AS INT) AS n_windows "
+        "FROM documents WHERE length(text) >= 16"
+    ),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min over md5 of every WINNOW_W-char sliding
+    window (the winnowing idea with a single global min). Catches near-dups
+    that token-set hashes miss (local reorderings) — pure expressions."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_W)
+    n_win = F.greatest(F.length("text") - WINNOW_W + 1, F.lit(0))
+    fp = F.array_min(
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {WINNOW_W} + 1, 1)), "
+            f"i -> md5(substring(text, i, {WINNOW_W})))"
+        )
+    )
+    return d.select(
+        "doc_id", fp.alias("winnow_fp"), n_win.cast("int").alias("n_windows")
+    )
+
+
 @query(
     "text_simhash32",
     oracle=(
