@@ -287,7 +287,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rollup_orders",
     oracle=(
-        "SELECT o_orderstatus, o_orderpriority, "
+        "SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+        "coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
         "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
         "count(*) AS n, " + dsum_sql("o_totalprice") + " AS total "
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
@@ -295,19 +296,31 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + grouping_id (capability extension; reference has nothing like
-    multi-level aggregation)."""
+    multi-level aggregation). Super-aggregate NULLs coalesced in both
+    dialects (see cube_events)."""
     o = table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count("*").alias("n"),
         dsum("o_totalprice").alias("total"),
-    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        "gid",
+        "n",
+        "total",
+    )
 
 
 @query(
     "cube_events",
     oracle=(
-        "SELECT event_type, CAST(year(ts) AS INT) AS yr, "
+        # Super-aggregate NULLs are coalesced in BOTH dialects: a nullable
+        # int column round-trips to pandas differently per engine (float64
+        # with NaN vs nullable Int32), which an engine-agnostic value hash
+        # may see as different values. gid still identifies the grouping.
+        "SELECT coalesce(event_type, 'ALL') AS event_type, "
+        "CAST(coalesce(year(ts), -1) AS INT) AS yr, "
         "CAST(GROUPING(event_type, year(ts)) AS BIGINT) AS gid, "
         "count(*) AS n, " + dsum_sql("value") + " AS total_value "
         "FROM events GROUP BY CUBE (event_type, year(ts))"
@@ -321,7 +334,13 @@ def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count("*").alias("n"),
         dsum("value").alias("total_value"),
-    ).select("event_type", "yr", "gid", "n", "total_value")
+    ).select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
+        "gid",
+        "n",
+        "total_value",
+    )
 
 
 @query(
@@ -560,7 +579,8 @@ def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouping_sets_lineitem",
     oracle=(
-        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+        "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n, "
         + dsum_sql("l_quantity")
         + " AS sum_qty "
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
@@ -571,7 +591,8 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst pipeline as the DataFrame API — SURVEY.md §3.3)."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(
-        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+        "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n, "
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
         "FROM lineitem_v GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
     )

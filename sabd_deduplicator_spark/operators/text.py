@@ -230,22 +230,23 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_simhash32",
-    oracle=(
-        # 32-bit SimHash from md5 nibbles: bit b of token t = high bit of hex
-        # nibble b+1; per-doc bit b is the majority vote (+1/-1) over tokens.
-        "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS simhash "
-        "FROM ("
-        "  SELECT doc_id, b, sum(CASE WHEN substring(h, b + 1, 1) IN "
-        "    ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s"
-        "  FROM ("
-        "    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents"
-        "  ), (SELECT unnest(range(0, 32)) AS b)"
-        "  GROUP BY doc_id, b"
-        ") GROUP BY doc_id"
-    ),
+# 32-bit SimHash from md5 nibbles: bit b of token t = high bit of hex nibble
+# b+1; per-doc bit b is the majority vote (+1/-1) over tokens. Shared by the
+# fingerprint query and the hamming near-dup oracle below.
+SIMHASH_SQL = (
+    "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (31 - b)) ELSE 0 END) AS BIGINT) AS simhash "
+    "FROM ("
+    "  SELECT doc_id, b, sum(CASE WHEN substring(h, b + 1, 1) IN "
+    "    ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s"
+    "  FROM ("
+    "    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents"
+    "  ), (SELECT unnest(range(0, 32)) AS b)"
+    "  GROUP BY doc_id, b"
+    ") GROUP BY doc_id"
 )
+
+
+@query("text_simhash32", oracle=SIMHASH_SQL)
 def text_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint (near-dup primitive): explode tokens × bit
     positions, majority-vote each bit, reassemble as a BIGINT. All expressions
@@ -272,4 +273,61 @@ def text_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("simhash")
+    )
+
+
+SIMHASH_BANDS = 4  # 4 × 8-bit bands: hamming ≤ 3 ⟹ ≥1 band identical
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=(
+        # oracle checks ALL pairs (n² scan is fine for DuckDB at gate scale);
+        # the Spark plan uses the banded index join.
+        f"WITH sim AS ({SIMHASH_SQL}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    ),
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via the banded index join
+    (Manku/Jain/Das Sarma): split the 32-bit fingerprint into 4 bytes — two
+    fingerprints within hamming 3 must agree on ≥1 whole byte (pigeonhole) —
+    equi-join on (band, byte), then verify the true distance on candidates.
+    Candidates are ~n/256 per band value instead of n²/2."""
+    sim = text_simhash32(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("byte"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    l = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "byte"
+    )
+    r = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "byte"
+    )
+    cand = (
+        l.join(r, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -99,8 +99,11 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_gap_to_prev",
     oracle=(
+        # first-event NULL gap coalesced to -1: a nullable BIGINT reaches
+        # pandas as float64+NaN from DuckDB but may stay object/None from
+        # Spark — coalescing keeps the column integral in both engines.
         "SELECT event_id, user_id, "
-        "CAST(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_sec "
+        "CAST(coalesce(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1) AS BIGINT) AS gap_sec "
         "FROM events"
     ),
 )
@@ -117,5 +120,9 @@ def events_gap_to_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.expr("timestampdiff(SECOND, __prev, date_trunc('second', ts))")
     return (
         e.withColumn("__prev", prev)
-        .select("event_id", "user_id", gap.cast("long").alias("gap_sec"))
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(gap.cast("long"), F.lit(-1)).alias("gap_sec"),
+        )
     )
