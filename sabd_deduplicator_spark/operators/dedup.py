@@ -93,6 +93,37 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def merge_hash_links(existing: DataFrame, new_chunks: DataFrame, **kw) -> DataFrame:
+    """Incremental index maintenance: fold a new batch of chunks into an
+    existing hash_links index — the set-oriented version of the reference's
+    per-flush insert_all + refs_num UPDATE loop
+    (/root/reference/lib/deduplicator/hash.ex:66-79,94-102).
+
+    Semantics: refs_num adds up; the first occurrence keeps the OLD link if
+    the hash was known (the reference never relocates a link), else the new
+    batch's min. One union + one hash aggregate; idempotence is the caller's
+    concern (exactly-once ingest or foreachBatch).
+    """
+    new_links = build_hash_links(new_chunks, **kw)
+    both = existing.select("hash", "file_id", "line", "refs_num").withColumn(
+        "_src", F.lit(0)
+    ).unionByName(new_links.withColumn("_src", F.lit(1)))
+    packed = (
+        F.col("_src").cast("long") * (1 << (_LINE_BITS + 38))
+        + F.col("file_id") * (1 << _LINE_BITS)
+        + F.col("line")
+    )
+    return both.groupBy("hash").agg(
+        F.min(packed).alias("_first"),
+        F.sum("refs_num").alias("refs_num"),
+    ).select(
+        "hash",
+        F.expr(f"shiftright(_first, {_LINE_BITS}) & {(1 << 38) - 1}").alias("file_id"),
+        F.expr(f"_first & {(1 << _LINE_BITS) - 1}").alias("line"),
+        "refs_num",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries (documents.text as the content being deduplicated)
 # ---------------------------------------------------------------------------

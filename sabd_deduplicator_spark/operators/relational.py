@@ -234,6 +234,98 @@ def range_join_close_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("p_partkey").agg(F.count("*").alias("n_close"))
 
 
+@query(
+    "full_outer_nation_activity",
+    oracle=(
+        # nations having customers vs suppliers — FULL OUTER over two aggs;
+        # nullable counts coalesced (see cube_events note).
+        "WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1), "
+        "s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) "
+        "SELECT coalesce(c.nk, s.nk) AS nationkey, "
+        "CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust, "
+        "CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp "
+        "FROM c FULL OUTER JOIN s ON c.nk = s.nk"
+    ),
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = c.join(s, c.nk == s.nk_s, "full_outer")
+    return j.select(
+        F.coalesce("nk", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "right_join_orders_late_customers",
+    oracle=(
+        # every customer, with their open-order count (0 if none): RIGHT
+        # join from orders into customer.
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "CAST(count(o.o_orderkey) AS BIGINT) AS n_open "
+        "FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o "
+        "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_mktsegment"
+    ),
+)
+def right_join_orders_late_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_open"))
+    )
+
+
+@query(
+    "cross_join_region_status",
+    oracle=(
+        # small×small cross join (the grid pattern for dense reports)
+        "SELECT r.r_name, s.st, CAST(coalesce(o.n, 0) AS BIGINT) AS n FROM region r "
+        "CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s "
+        "LEFT JOIN ("
+        "  SELECT r2.r_regionkey AS rk, o_orderstatus AS st, count(*) AS n "
+        "  FROM orders JOIN customer ON o_custkey = c_custkey "
+        "  JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+        "  GROUP BY 1, 2"
+        ") o ON o.rk = r.r_regionkey AND o.st = s.st"
+    ),
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense grid report: region × status scaffold (cross join of two tiny
+    sides) left-joined with the actual counts — the pattern that guarantees
+    zero-filled cells."""
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    st = o.select(F.col("o_orderstatus").alias("st")).distinct()
+    grid = r.crossJoin(st)
+    counts = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("rk"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count("*").alias("n"))
+    )
+    return grid.join(
+        counts, (grid.r_regionkey == counts.rk) & (grid.st == counts.st), "left"
+    ).select(
+        "r_name", grid.st.alias("st"), F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------

@@ -297,6 +297,92 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 3b. IVF (inverted-file) ANN — the other scale path ---------------------
+
+IVF_CLUSTERS = 16
+IVF_PROBES = 4
+
+
+def _ivf_centroids(n: int = IVF_CLUSTERS, dim: int = DIM):
+    """Deterministic pseudo-random unit centroids (md5-seeded, no RNG state).
+    A real deployment would k-means these; the operator shape — coarse
+    quantize, probe nearest cells only — is identical."""
+    import numpy as np
+
+    c = np.empty((n, dim))
+    for i in range(n):
+        for d in range(dim):
+            h = hashlib.md5(f"centroid{i}_d{d}".encode()).hexdigest()
+            c[i, d] = int(h[:8], 16) / float(1 << 32) - 0.5
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+@query("ann_ivf_topk")  # approximate by construction → rows-only driver check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    (one blocked matmul), then search ONLY the query's IVF_PROBES nearest
+    cells with exact cosine. Top-10 for the query vector (vec_id 0).
+
+    At 100 TB: the assignment pass is narrow/zero-shuffle, the inverted file
+    is a partitioned table keyed by cell, and a query touches ~PROBES/CLUSTERS
+    of the corpus. Complements LSH (ann_lsh_topk): IVF adapts to the data
+    distribution via trained centroids; LSH needs no training."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _ivf_centroids()
+    bc = spark.sparkContext.broadcast(cents)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assign(batches):
+        c = bc.value
+        for chunk in batches:
+            a = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            cell = np.argmax(an @ c.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": chunk["vec_id"],
+                    "embedding": chunk["embedding"],
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell int"
+    )
+    # query vector and its probe cells (driver-side: one tiny row)
+    qrow = e.filter(F.col("vec_id") == 0).first()
+    q = np.asarray(qrow["embedding"], dtype=np.float64)
+    q /= np.linalg.norm(q)
+    probe_cells = [int(c) for c in np.argsort(-(cents @ q))[:IVF_PROBES]]
+    cand = assigned.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
+    )
+    qb = spark.sparkContext.broadcast(q)
+
+    def score(batches):
+        qv = qb.value
+        for chunk in batches:
+            a = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": chunk["vec_id"],
+                    "cell": chunk["cell"],
+                    "cos": np.round(an @ qv, 6),
+                }
+            )
+
+    scored = cand.mapInPandas(score, "vec_id long, cell int, cos double")
+    w = Window.orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "cell", "cos")
+    )
+
+
 # --- 4. Banded MinHash (native; rows-only) ---------------------------------
 
 MINHASH_PERMS = 8   # k signatures
