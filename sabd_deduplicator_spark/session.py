@@ -21,9 +21,13 @@ def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
       would be sized to ~128MB per post-shuffle partition — AQE coalesces down.
     - Arrow for any pandas interchange (toPandas / pandas UDF paths).
     """
+    import tempfile
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # keep the metastore warehouse out of the repo cwd (saveAsTable)
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-"))
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
