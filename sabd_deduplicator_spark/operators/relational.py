@@ -742,6 +742,106 @@ def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "math_funcs_lineitem",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "abs(l_discount - 0.05) AS disc_dev, "
+        "CAST(floor(l_quantity) AS BIGINT) AS qty_floor, "
+        "CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kilo, "
+        "round(sqrt(l_quantity), 6) AS qty_sqrt, "
+        "round(ln(l_extendedprice), 6) AS price_ln, "
+        "CAST(sign(l_discount - l_tax) AS INT) AS disc_vs_tax, "
+        "greatest(l_discount, l_tax) AS max_rate, "
+        "least(l_discount, l_tax) AS min_rate, "
+        "CAST(l_orderkey % 7 AS BIGINT) AS key_mod "
+        "FROM lineitem WHERE l_orderkey < 2000"
+    ),
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar breadth. abs/floor/ceil/sign/greatest/least/% are exact;
+    sqrt/ln are IEEE-identical on identical doubles, rounded defensively."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_kilo"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("int").alias("disc_vs_tax"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle=(
+        "SELECT vec_id, "
+        "CAST(len(embedding) AS INT) AS dim, "
+        "round(embedding[1]::DOUBLE, 6) AS first_val, "
+        "round(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'max'), 6) AS max_val, "
+        "round(list_aggregate(list_transform(list_slice(embedding, 1, 8), x -> x::DOUBLE), 'sum'), 6) AS head_sum, "
+        "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, "
+        "round(list_sort(list_transform(embedding, x -> round(x::DOUBLE, 3)))[1], 6) AS min_rounded "
+        "FROM embeddings WHERE vec_id < 100"
+    ),
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar breadth: size/index/slice/filter/sort/transform over the
+    embedding column (Spark 0-indexed via [], DuckDB 1-indexed)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.round(
+            F.array_max(F.expr("transform(embedding, x -> cast(x as double))")), 6
+        ).alias("max_val"),
+        F.round(
+            F.expr(
+                "aggregate(slice(embedding, 1, 8), 0D, (a, x) -> a + cast(x as double))"
+            ),
+            6,
+        ).alias("head_sum"),
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.round(
+            F.expr("array_sort(transform(embedding, x -> round(cast(x as double), 3)))")[0],
+            6,
+        ).alias("min_rounded"),
+    )
+
+
+@query(
+    "map_funcs_events",
+    oracle=(
+        # map built from parsed JSON fields; DuckDB's map syntax differs, so
+        # the oracle checks the SEMANTICS (key lookup + cardinality).
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map, "
+        "2 AS n_keys, event_type AS type_from_map "
+        "FROM events WHERE event_id < 2000"
+    ),
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar breadth: build map<string,?> columns, look up keys, count
+    cardinality — the oracle validates observable values."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("type"), F.col("event_type"),
+    )
+    return e.withColumn("m", m).select(
+        "event_id",
+        F.col("m")["k"].cast("int").alias("k_from_map"),
+        F.size("m").alias("n_keys"),
+        F.col("m")["type"].alias("type_from_map"),
+    )
+
+
+@query(
     "date_funcs_orders",
     oracle=(
         "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, "
