@@ -1,0 +1,50 @@
+"""Contract hygiene: the driver consumes __spark_entry__ blindly — these
+tests pin the invariants it depends on."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+from sabd_deduplicator_spark.catalog import TABLES
+
+
+def test_contract_shape():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 60
+    assert set(o) <= set(q)
+    for name, fn in q.items():
+        assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
+        assert callable(fn)
+    for name, sql in o.items():
+        assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_oracles_reference_only_registered_views():
+    """Every table name an oracle references must be one of the driver's
+    pre-registered views (a typo here fails silently at the gate)."""
+    o = entrymod.oracle_sql()
+    candidates = set(TABLES)
+    for name, sql in o.items():
+        toks = set(re.findall(r"\bFROM\s+([a-z_][a-z0-9_]*)\b", sql, re.IGNORECASE))
+        toks |= set(re.findall(r"\bJOIN\s+([a-z_][a-z0-9_]*)\b", sql, re.IGNORECASE))
+        unknown = {
+            t.lower()
+            for t in toks
+            if t.lower() not in candidates
+            # CTE/alias names declared inside the same statement are fine
+            and not re.search(rf"\b{t}\s+AS\s*\(", sql, re.IGNORECASE)
+            and not re.search(rf"\({{0}}\b{t}\b\s*\(", sql)
+        }
+        # anything still unknown must appear as an inline alias target `) x`
+        for t in sorted(unknown):
+            assert re.search(rf"\)\s*(AS\s+)?{t}\b", sql, re.IGNORECASE) or re.search(
+                rf"\b{t}\s*\(", sql
+            ), f"{name}: oracle references unknown relation {t!r}"
+
+
+def test_entry_uses_sf0001(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == ["hash", "file_id", "line", "refs_num"]

@@ -60,6 +60,38 @@ def test_stream_refcounts_match_batch(spark, sf_dir, docs_stream_dir):
     assert diff.count() == 0
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """Bounded-state dedup: dropDuplicatesWithinWatermark drops duplicates
+    arriving within the watermark horizon — state is evictable (the 100 TB
+    requirement), and no duplicate hash is ever emitted twice within it."""
+    from sabd_deduplicator_spark.catalog import table
+
+    out = str(tmp_path_factory.mktemp("docs_wm"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # give every doc a synthetic event time inside one hour
+    docs = docs.withColumn(
+        "ts",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=(F.col("doc_id") % 3600).cast("double"))),
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(out)
+    got = run_to_memory_sink(
+        stream_first_occurrence(
+            spark,
+            out,
+            schema="doc_id bigint, text string, ts timestamp",
+            watermark="2 hours",
+            ts_col="ts",
+        ),
+        "wm_sink",
+    )
+    assert got.groupBy("hash").count().filter("count > 1").count() == 0
+    distinct_hashes = (
+        table(spark, sf_dir, "documents").select(F.md5("text")).distinct().count()
+    )
+    assert got.count() == distinct_hashes
+
+
 def test_stream_windowed_counts(spark, sf_dir, tmp_path_factory):
     from sabd_deduplicator_spark.catalog import table
 
