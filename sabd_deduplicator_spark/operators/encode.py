@@ -94,6 +94,52 @@ def decode_tokens(
     return literals.unionByName(resolved)
 
 
+def validate_tokens(
+    tokens: DataFrame,
+    file_col: str = "doc_id",
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """Malformed-stream detection (the reference's `:not_chunk` error,
+    /root/reference/lib/deduplicator.ex:209-215, plus cases it can't see):
+    returns one row per invalid token — empty result = valid stream.
+
+    Violations detected set-at-a-time:
+      bad_marker        token starts with neither '0' nor '1'
+      bad_pointer       pointer payload is not an integer of the right width
+      dangling_pointer  pointer's target line has no literal (incl. the
+                        reference's pointer→pointer case)
+    """
+    is_literal = F.col("token").startswith(LITERAL)
+    is_pointer = F.col("token").startswith(POINTER)
+    marker_bad = tokens.filter(~is_literal & ~is_pointer).select(
+        file_col, "line", "token", F.lit("bad_marker").alias("violation")
+    )
+    # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW on
+    # malformed input — the validator must classify, not crash.
+    ptr_payload = F.expr("try_cast(substring(token, 2) AS BIGINT)")
+    pointer_bad = tokens.filter(is_pointer).filter(
+        (F.length("token") != pointer_width + 1) | ptr_payload.isNull()
+    ).select(file_col, "line", "token", F.lit("bad_pointer").alias("violation"))
+    literals = tokens.filter(is_literal).select(
+        F.col(file_col).alias("_f"), F.col("line").alias("_l")
+    )
+    dangling = (
+        tokens.filter(is_pointer)
+        .withColumn(
+            "ptr",
+            F.expr(f"try_cast(substring(token, 2, {pointer_width}) AS BIGINT)"),
+        )
+        .filter(F.col("ptr").isNotNull())  # structurally-bad ones are bad_pointer
+        .join(
+            literals,
+            on=[F.col(file_col) == F.col("_f"), F.col("ptr") == F.col("_l")],
+            how="left_anti",
+        )
+        .select(file_col, "line", "token", F.lit("dangling_pointer").alias("violation"))
+    )
+    return marker_bad.unionByName(pointer_bad).unionByName(dangling)
+
+
 ENCODE_SQL = (
     "SELECT doc_id, line, CASE WHEN line = first_line THEN '0' || chunk "
     f"ELSE '1' || lpad(CAST(first_line AS VARCHAR), {POINTER_WIDTH}, '0') END AS token "
