@@ -1,0 +1,128 @@
+"""High-level API: the reference's two public entry points, set-oriented.
+
+Reference surface (/root/reference/lib/deduplicator.ex):
+    deduplicate_file(input, opts)  →  encoded file + files/hash_links rows
+        opts: bytes (chunk size), hash algorithm, chunk_amount (batch size),
+              output path, compress    (:22-57)
+    recovery_file(input, output, opts) → original bytes   (:149-171)
+
+Engine equivalents — each returns DataFrames instead of writing local files
+(callers persist with sources/writers.py; `chunk_amount` has no meaning in a
+set-oriented plan — partition size plays that role; `compress` is a parquet
+codec option):
+
+    deduplicate(spark, docs)  → DedupResult(files, chunks, hash_links, tokens)
+    recover(spark, tokens)    → chunks, and reassemble() → original strings
+    repetition_report(links)  → the reference's chunk_repetition query
+
+One Spark job graph end to end: chunk (narrow) → hash+first-occurrence
+(1 shuffle) → encode (1 shuffle by (file,hash)) → index aggregate. The
+reference's per-chunk Postgres probe and flush loop disappear into the plan
+(SURVEY.md §3.1 translation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.operators.chunker import chunk_fixed
+from sabd_deduplicator_spark.operators.dedup import build_hash_links
+from sabd_deduplicator_spark.operators.encode import (
+    POINTER_WIDTH,
+    decode_tokens,
+    encode_chunks,
+)
+
+
+@dataclass
+class DedupResult:
+    files: DataFrame       # catalog: file_id, filename, bytes, algorithm
+    chunks: DataFrame      # file_id, line, chunk
+    hash_links: DataFrame  # hash, file_id, line, refs_num
+    tokens: DataFrame      # file_id, line, token
+
+
+def deduplicate(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    algorithm: str = "md5",
+    pointer_width: int = POINTER_WIDTH,
+) -> DedupResult:
+    """Full dedup pipeline over a corpus DataFrame (one row per document /
+    file). Mirrors deduplicate_file's observable outputs; every piece is a
+    lazy plan the caller can persist or extend."""
+    named = docs.select(
+        F.col(id_col).alias("file_id"),
+        F.col(id_col).cast("string").alias("filename"),
+        F.col(text_col).alias("text"),
+    )
+    files = named.select(
+        "file_id",
+        "filename",
+        F.lit(chunk_size).alias("bytes"),
+        F.lit(algorithm).alias("algorithm"),
+    )
+    chunks = chunk_fixed(named, text_col="text", id_cols=("file_id",), size=chunk_size)
+    links = build_hash_links(chunks, algorithm=algorithm)
+    tokens = encode_chunks(
+        chunks, file_col="file_id", algorithm=algorithm, pointer_width=pointer_width
+    )
+    return DedupResult(files=files, chunks=chunks, hash_links=links, tokens=tokens)
+
+
+def recover(
+    tokens: DataFrame,
+    file_col: str = "file_id",
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """recovery_file equivalent: token stream → (file, line, chunk)."""
+    return decode_tokens(tokens, file_col=file_col, pointer_width=pointer_width)
+
+
+def reassemble(
+    chunks: DataFrame, file_col: str = "file_id", chunk_col: str = "chunk"
+) -> DataFrame:
+    """(file, line, chunk) → (file, text): byte-for-byte reassembly
+    (the reference's sequential binwrite, as an ordered per-file concat)."""
+    return chunks.groupBy(file_col).agg(
+        F.array_join(
+            F.expr(
+                f"transform(sort_array(collect_list(struct(line, {chunk_col}))), s -> s.{chunk_col})"
+            ),
+            "",
+        ).alias("text")
+    )
+
+
+def repetition_report(hash_links: DataFrame) -> DataFrame:
+    """The reference's chunk_repetition report
+    (test/deduplicator_test.exs:323-330): hashes with refs_num > 1, most
+    repeated first."""
+    return (
+        hash_links.filter(F.col("refs_num") > 1)
+        .select("hash", "refs_num")
+        .orderBy(F.desc("refs_num"), "hash")
+    )
+
+
+def compression_stats(result: DedupResult) -> DataFrame:
+    """Per-file encoded-vs-raw size — what the reference only eyeballs in
+    test output (SURVEY.md §5.4), as a queryable DataFrame."""
+    raw = result.chunks.groupBy("file_id").agg(
+        F.sum(F.length("chunk")).alias("raw_chars")
+    )
+    enc = result.tokens.groupBy("file_id").agg(
+        F.sum(F.length("token")).alias("encoded_chars")
+    )
+    return raw.join(enc, "file_id").select(
+        "file_id",
+        "raw_chars",
+        "encoded_chars",
+        F.round(F.col("encoded_chars") / F.col("raw_chars"), 4).alias("ratio"),
+    )
