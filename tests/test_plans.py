@@ -78,6 +78,25 @@ def test_band_join_is_equi_not_nested_loop(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "pivot_events_by_type",
+        "dedup_hash_links",
+        "multi_join_revenue_by_nation",
+        "dedup_refcount",
+    ],
+)
+def test_aggregates_stay_hash_based(name, spark, sf_dir):
+    """Decimal sums and packed ordinals must keep the headline aggregations
+    on HashAggregate (SortAggregate = per-partition sort, slower and no
+    map-side combine for the skewed-hash defense)."""
+    plan = formatted_plan(q(name, spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize(
     "name,max_exchanges",
     [
         ("dedup_refcount", 1),
