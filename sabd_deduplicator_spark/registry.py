@@ -48,3 +48,4 @@ def load_all_queries() -> None:
         text,
         timeseries,
     )
+    from sabd_deduplicator_spark.streaming import registered  # noqa: F401

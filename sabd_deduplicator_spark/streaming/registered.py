@@ -1,0 +1,176 @@
+"""Oracle-checked STREAMING queries (SURVEY.md §2.B streaming row).
+
+Most engines can only rows-check streaming operators; here three Structured
+Streaming pipelines are registered with full DuckDB oracles because their
+drained (availableNow) results are set-deterministic:
+
+- streaming_dedup_distinct: dropDuplicates state across micro-batches — the
+  reference's cross-batch hash probe — emits exactly the distinct hash set;
+- streaming_tumbling_counts: complete-mode windowed aggregation equals the
+  batch group-by;
+- streaming_closed_sessions: applyInPandasWithState sessionization — with a
+  single availableNow drain the emitted rows are precisely "every session
+  except each user's last", expressible as a window-SQL oracle.
+
+Each callable drains the stream into a uniquely-named memory sink and
+returns the resulting batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.functions.numeric import dsum_sql
+from sabd_deduplicator_spark.registry import query
+
+_SINK_IDS = itertools.count()
+
+
+def _stage(df: DataFrame, n_files: int) -> str:
+    """File-stream sources need a DIRECTORY: stage the (small) input as
+    n_files parquet parts so maxFilesPerTrigger=1 yields n real micro-batches
+    — the cross-batch state is then genuinely exercised."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_stage_")
+    df.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = f"reg_sink_{os.getpid()}_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "streaming_dedup_distinct",
+    oracle="SELECT DISTINCT md5(text) AS hash FROM documents",
+)
+def streaming_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup: whichever duplicate arrives first wins a
+    state-store slot, so the emitted HASH SET is deterministic and equals
+    batch DISTINCT. maxFilesPerTrigger forces multiple micro-batches, so the
+    state store (not intra-batch dedup) is what's being exercised."""
+    staged = _stage(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        n_files=4,
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    ded = (
+        src.withColumn("hash", F.md5("text")).dropDuplicates(["hash"]).select("hash")
+    )
+    return _drain(ded, "append")
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle=(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, "
+        "event_type, count(*) AS n, " + dsum_sql("value") + " AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation, complete mode: after the drain
+    the state holds the full aggregate — identical to the batch group-by
+    (events_tumbling_1h's streaming twin, same oracle)."""
+    from sabd_deduplicator_spark.catalog import table
+
+    staged = _stage(
+        table(spark, sf_dir, "events").select("ts", "event_type", "value"), n_files=4
+    )
+    src = (
+        spark.readStream.schema("ts timestamp_ntz, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = (
+        src
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+_SESSION_GAP = 600  # seconds
+
+_SESSIONS_SQL = (
+    # window-SQL sessionization: cumulative gap-breaks number the sessions
+    "WITH numbered AS ("
+    "  SELECT user_id, ts, value, sum(CASE WHEN gap_break THEN 1 ELSE 0 END) "
+    "    OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+    "  FROM (SELECT user_id, event_id, ts, value, "
+    f"        coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL {_SESSION_GAP} SECONDS, FALSE) AS gap_break "
+    "        FROM events)), "
+    "sessions AS ("
+    "  SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+    "         count(*) AS n_events, " + dsum_sql("value") + " AS total_value, "
+    "         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY min(ts) DESC) AS rn "
+    "  FROM numbered GROUP BY user_id, session_id) "
+    # gap-closed sessions only (rn > 1): the in-batch gap rule is purely
+    # data-driven; timeout-closed finals are watermark/session-TZ dependent
+    # and are excluded by closed_by = 'gap' on the Spark side.
+    "SELECT user_id, session_start, n_events, total_value FROM sessions WHERE rn > 1"
+)
+
+
+@query("streaming_closed_sessions", oracle=_SESSIONS_SQL)
+def streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization (applyInPandasWithState), drained in ONE
+    micro-batch: the operator emits every gap-closed session and holds each
+    user's final session in state — so the emitted set is exactly 'all
+    sessions but the last per user', a window-SQL-expressible oracle. This
+    is an oracle-checked custom stateful streaming operator."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.streaming.sessionize import sessionize_stream
+
+    # NTZ staged, cast to LTZ at the stream boundary (watermark needs LTZ):
+    # the cast interprets the naive value in the session TZ, so rendering it
+    # back — including inside the pandas state function — reproduces the
+    # parquet's naive wall clock whatever TZ the driver session uses.
+    staged = _stage(
+        table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value"),
+        n_files=1,  # ONE file → one micro-batch → deterministic emitted set
+    )
+    src = spark.readStream.schema(
+        "user_id bigint, event_id bigint, ts timestamp_ntz, value double"
+    ).parquet(staged)
+    ev = src.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    sessions = sessionize_stream(ev, gap_seconds=_SESSION_GAP)
+    drained = _drain(sessions, "append").filter(F.col("closed_by") == "gap")
+    return drained.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+        F.round(F.col("total_value").cast("decimal(18,2)"), 2).cast("double").alias("total_value"),
+    )

@@ -20,9 +20,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# closed_by: 'gap' = closed in-batch by the gap rule (purely data-driven,
+# deterministic); 'timeout' = closed by the event-time timeout when the
+# watermark passed end+gap. NB the timeout path is session-TZ-skewed: Arrow
+# hands this function session-naive timestamps while the JVM watermark is an
+# instant, so setTimeoutTimestamp drifts by the session's UTC offset —
+# consumers needing determinism filter closed_by = 'gap'.
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
-    "n_events bigint, total_value double"
+    "n_events bigint, total_value double, closed_by string"
 )
 STATE_SCHEMA = "start long, last long, n long, total double"
 
@@ -47,6 +53,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                     "session_end": [pd.Timestamp(last, unit="us")],
                     "n_events": [n],
                     "total_value": [total],
+                    "closed_by": ["timeout"],
                 }
             )
             return
@@ -82,6 +89,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                     "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in out],
                     "n_events": [n_ for _, _, n_, _ in out],
                     "total_value": [tv for _, _, _, tv in out],
+                    "closed_by": "gap",
                 }
             )
 
