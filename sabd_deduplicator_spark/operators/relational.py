@@ -436,6 +436,46 @@ def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_aggregates_lineitem",
+    oracle=(
+        # Order statistics: both engines define the interpolated continuous
+        # quantile identically (Spark percentile == DuckDB quantile_cont).
+        # Moments: computed from EXACT decimal power sums (sum, sum of
+        # squares, cross sum) so variance/stddev/corr are bit-stable — the
+        # engines' native Welford-style accumulators would drift.
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, "
+        "round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty, "
+        "round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+        " - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) "
+        " / (count(*) - 1)), 6) AS stddev_qty, "
+        "round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) "
+        " - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)) "
+        " / count(*), 6) AS covar_qty_disc, "
+        "count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    q18 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    n = F.count("*")
+    sum_q = F.sum(q18("l_quantity")).cast("double")
+    sum_q2 = F.sum(q18("l_quantity") * q18("l_quantity")).cast("double")
+    sum_qd = F.sum(q18("l_quantity") * q18("l_discount")).cast("double")
+    sum_d = F.sum(q18("l_discount")).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(
+            F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))), 6
+        ).alias("stddev_qty"),
+        F.round((sum_qd - sum_q * sum_d / n) / n, 6).alias("covar_qty_disc"),
+        n.alias("n"),
+    )
+
+
+@query(
     "distinct_count_parts",
     oracle=(
         "SELECT p_brand, count(DISTINCT p_type) AS n_types, "
