@@ -198,6 +198,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_lang_stats",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, "
+        "count(DISTINCT source) AS n_sources, "
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens "
+        "FROM documents GROUP BY lang"
+    ),
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (SURVEY.md §2.C per-lang aggregates):
+    integer sums are exact, avg derived from them."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size("tokens")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(F.size("tokens")).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
 WINNOW_W = 16  # rolling window width (chars)
 
 

@@ -26,7 +26,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
-            raise ValueError(f"duplicate query name {name!r}")
+            # tolerate re-registration of the same function (the package can
+            # be imported under two sys.path roots by an external harness);
+            # genuinely conflicting registrations still fail loudly
+            if QUERIES[name].__qualname__ != fn.__qualname__:
+                raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
