@@ -563,6 +563,103 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q3_shipping_priority",
+    oracle=(
+        # classic TPC-H Q3 shape: 3-way join, filtered build sides, revenue
+        # agg, deterministic top-10 via rank over (revenue desc, orderkey)
+        "SELECT o_orderkey, revenue, order_date, o_orderpriority FROM ("
+        "  SELECT o_orderkey, revenue, order_date, o_orderpriority, "
+        "         RANK() OVER (ORDER BY revenue DESC, o_orderkey) AS rnk FROM ("
+        "    SELECT l.l_orderkey AS o_orderkey, "
+        f"           CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue, "
+        "           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, "
+        "           o.o_orderpriority "
+        "    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "    JOIN customer c ON o.o_custkey = c.c_custkey "
+        "    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O' "
+        "    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)"
+        ") WHERE rnk <= 10"
+    ),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: selective dimension filters reach the scans, the
+    lineitem fact joins pre-filtered orders (broadcast after filtering),
+    revenue in exact decimals, tie-stable top-10."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    rev = (
+        l.join(broadcast(o.join(broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ext * disc1).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_orderkey")
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "ntile_customer_deciles",
+    oracle=(
+        "SELECT c_custkey, CAST(NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS decile "
+        "FROM customer"
+    ),
+)
+def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile assignment — deterministic because the order
+    (acctbal desc, custkey) is total."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+@query(
+    "window_first_last_frames",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "first_value(event_type) OVER w AS first_type, "
+        "last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type, "
+        "nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type, "
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing3 "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+)
+def window_first_last_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit frames + a bounded trailing frame
+    (SURVEY.md §2.B windows row: frame-spec coverage)."""
+    e = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wtrail = wo.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(wo).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+        F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+        F.count("*").over(wtrail).alias("trailing3"),
+    )
+
+
+@query(
     "topk_customers_by_spend",
     oracle=(
         "SELECT c_custkey, spend, CAST(rnk AS BIGINT) AS rnk FROM ("
