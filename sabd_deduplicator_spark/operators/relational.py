@@ -1005,3 +1005,151 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_2002"),
         F.date_format(F.add_months(F.col("o_orderdate"), 1), "yyyy-MM-dd").alias("next_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer-join distribution, correlated subquery, arg-min/max, distribution
+# windows, unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle=(
+        # TPC-H Q13 shape: outer join keeps zero-order customers, two-level agg
+        "SELECT order_count, CAST(count(*) AS BIGINT) AS num_customers FROM ("
+        "  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS order_count "
+        "  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "  GROUP BY c.c_custkey"
+        ") GROUP BY order_count"
+    ),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style: LEFT join so customers with zero orders survive
+    (count(o_orderkey) ignores the null-extended rows), then a histogram of
+    per-customer order counts. Two aggregations; the second is tiny (distinct
+    counts), so only the first shuffles real data — keyed on c_custkey, which
+    is near-uniform, no skew handling needed."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count("*").alias("num_customers")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=(
+        # correlated scalar subquery (avg qty per part) — decorrelates to an
+        # aggregate + join; quantities are integral doubles so avg is exact
+        "SELECT p.p_brand, " + dsum_sql("l.l_extendedprice") + " AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) "
+        "                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) "
+        "GROUP BY p.p_brand"
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated scalar subquery, written decorrelated (the
+    form Catalyst rewrites to anyway): per-part avg quantity in one hash agg,
+    join back on l_partkey, filter, aggregate by brand. Both the avg-agg and
+    the probe shuffle on l_partkey — AQE coalesces; part is broadcast. avg of
+    integral doubles is exact (sum < 2^53), so the < predicate is
+    engine-stable; revenue uses the exact-decimal sum convention."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avg_qty = l.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("__avg_qty")
+    )
+    return (
+        l.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "argminmax_orders_by_status",
+    oracle=(
+        # max_by/min_by with a collision-free BIGINT sort key: cents * 1e8 +
+        # orderkey (fits in int64) — double ties can't make the answer drift
+        "SELECT o_orderstatus, "
+        "max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS priciest_order, "
+        "min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS cheapest_order, "
+        "max(o_totalprice) AS max_price, min(o_totalprice) AS min_price "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def argminmax_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates (max_by/min_by). Money is 2-decimal, so
+    cents*1e8+orderkey is an exact, unique BIGINT ordering key — max_by over
+    it is deterministic even when two orders share a price. Single hash agg,
+    map-side partials collapse each status to one row per partition."""
+    o = table(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("priciest_order"),
+        F.min_by("o_orderkey", key).alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "percent_rank_cume_dist",
+    oracle=(
+        "SELECT c_custkey, "
+        "percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS pct_rank, "
+        "cume_dist() OVER (ORDER BY c_acctbal, c_custkey) AS cum_dist "
+        "FROM customer"
+    ),
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over a total order (acctbal, custkey) —
+    rank/(n-1) and rank/n are engine-stable once the order has no ties."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle=(
+        "SELECT p_partkey, metric, val FROM ("
+        "  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, "
+        "           CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM part) "
+        "  ON p_size, p_retailprice INTO NAME metric VALUE val)"
+    ),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt). Narrow transformation — no shuffle, output
+    is 2× the input rows; value columns unified to DOUBLE."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -126,3 +126,42 @@ def events_gap_to_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(gap.cast("long"), F.lit(-1)).alias("gap_sec"),
         )
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle=(
+        # spine = hours observed anywhere × distinct types; missing combos → 0
+        "SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_start, t.event_type, "
+        "COALESCE(n, 0) AS n FROM "
+        "(SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events) h "
+        "CROSS JOIN (SELECT DISTINCT event_type FROM events) t "
+        "LEFT JOIN (SELECT date_trunc('hour', ts) AS hr, event_type, "
+        "           CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) c "
+        "ON h.hr = c.hr AND t.event_type = c.event_type"
+    ),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly counts: dense (hour × event_type) spine LEFT-joined
+    to the observed counts, absent buckets zero-filled — the batch form of a
+    dashboard resample. The spine sides are tiny aggregates (distinct hours,
+    distinct types), so both are broadcast; only the count aggregation
+    shuffles event-scale data. At 100 TB the spine is still driver-sized
+    (hours × types), so the plan shape survives unchanged."""
+    e = table(spark, sf_dir, "events")
+    hours = e.select(F.date_trunc("hour", "ts").alias("hr")).distinct()
+    types = e.select("event_type").distinct()
+    counts = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hr"), "event_type"
+        ).agg(F.count("*").alias("__n"))
+    )
+    return (
+        hours.crossJoin(types)
+        .join(F.broadcast(counts), ["hr", "event_type"], "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.coalesce("__n", F.lit(0)).alias("n"),
+        )
+    )
