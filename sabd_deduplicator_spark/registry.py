@@ -51,5 +51,6 @@ def load_all_queries() -> None:
         similarity,
         text,
         timeseries,
+        udx,
     )
     from sabd_deduplicator_spark.streaming import registered  # noqa: F401

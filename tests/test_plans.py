@@ -111,3 +111,20 @@ def test_aggregates_stay_hash_based(name, spark, sf_dir):
 def test_shuffle_budget(name, max_exchanges, spark, sf_dir):
     """Shuffle-count regression gate for headline queries."""
     assert count_exchanges(q(name, spark, sf_dir)) <= max_exchanges
+
+
+def test_udtf_is_arrow_batched(spark, sf_dir):
+    """Python UDTF must eval via Arrow batches, never row pickling."""
+    plan = formatted_plan(q("udtf_tokenize_docs", spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a nullable subquery column requires the null-aware anti
+    join (tri-valued logic), not a plain left_anti hash join. The flag is the
+    trailing boolean of BroadcastHashJoinExec's string form:
+    `BroadcastHashJoin [...], LeftAnti, BuildRight, true`."""
+    df = q("not_in_null_aware", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan
