@@ -1,0 +1,165 @@
+"""Duplicate-cluster resolution: connected components over the near-dup pair
+graph, and the end-to-end "canonical corpus" pipeline built on it.
+
+Pairwise near-dup detection (similarity.py: ngram_jaccard_pairs /
+simhash_neardup_pairs / minhash_lsh_neardup) answers "are A and B near-dups?";
+a training-data pipeline needs the transitive closure — if A~B and B~C, keep
+ONE of {A,B,C}. That is connected components on the pair graph, with the
+canonical representative of each cluster defined deterministically as the
+minimum doc_id (the same "first occurrence wins" rule as the reference's
+chunk dedup, /root/reference/lib/deduplicator.ex:84-119, lifted from chunk
+hashes to document clusters).
+
+Scale notes (100 TB posture):
+- each iteration of min-label propagation is ONE equi-join (edges ⋈ labels,
+  both hash-partitioned on the node key) + ONE min-aggregate — shuffle count
+  is constant per round and AQE handles the skew of giant clusters;
+- rounds = graph diameter; near-dup clusters are dense (a template and its
+  variants all pair with each other), so diameter is 1-3 in practice. For
+  adversarial chain-shaped graphs use the alternating large-star/small-star
+  rewrite (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) which converges in O(log n) rounds with the same per-round plan
+  shape; propagation is the better constant for dedup workloads;
+- `localCheckpoint` truncates lineage each round so the plan doesn't grow
+  with iteration count (the classic iterative-DataFrame trap).
+
+The DuckDB oracle computes the same fixpoint with a recursive CTE (transitive
+closure with set-semantics UNION), so the clustering is value-checked, not
+just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark import registry
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.operators.similarity import ngram_jaccard_pairs
+from sabd_deduplicator_spark.registry import query
+
+QUALITY_MIN_CHARS = 100  # canonical-corpus quality floor (documents.n_chars)
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected edge list.
+
+    edges: DataFrame(u long, v long) — one row per directed edge; callers
+    pass both directions. Returns DataFrame(u, component_id) covering every
+    node that appears in `edges` (isolated nodes are the caller's coalesce).
+    Deterministic: component_id = min node id reachable from u.
+    """
+    nodes = edges.select("u").union(edges.select(F.col("v").alias("u"))).distinct()
+    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
+    # disambiguated copy of the edge list: labels/edges share lineage (labels
+    # is derived from edges), so joins between them need distinct attributes
+    ev = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            ev.join(labels, ev.ev == labels.u, "inner")
+            .select(F.col("eu").alias("u"), "lbl")
+        )
+        new_labels = (
+            labels.select("u", "lbl")
+            .union(nbr)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()  # truncate lineage each round; plan stays O(1)
+        )
+        changed = (
+            new_labels.select(F.col("u").alias("nu"), F.col("lbl").alias("new"))
+            .join(labels.select(F.col("u").alias("ou"), F.col("lbl").alias("old")),
+                  F.col("nu") == F.col("ou"))
+            .filter(F.col("new") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("u", F.col("lbl").alias("component_id"))
+
+
+def _pairs_sql() -> str:
+    """The ngram_jaccard_pairs oracle, reused as a CTE body so the edge set
+    in both dialects is definitionally identical."""
+    return registry.ORACLES["ngram_jaccard_pairs"]
+
+
+def _components_cte() -> str:
+    """Recursive-CTE transitive closure shared by both cluster oracles."""
+    return (
+        "pairs AS (" + _pairs_sql() + "), "
+        "und AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "        UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(u, v) AS ("
+        "  SELECT u, v FROM und "
+        "  UNION "
+        "  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u), "
+        "comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id "
+        "         FROM reach GROUP BY u)"
+    )
+
+
+@query(
+    "neardup_components",
+    oracle=(
+        "WITH RECURSIVE " + _components_cte() + " "
+        "SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id "
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"
+    ),
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph: every
+    document labeled with the min doc_id reachable through near-dup edges
+    (singletons label themselves). Iterative min-label propagation; the
+    oracle's recursive CTE checks the identical fixpoint."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    comp = connected_components(edges).withColumnRenamed("u", "doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+    )
+
+
+@query(
+    "corpus_canonical_docs",
+    oracle=(
+        "WITH RECURSIVE " + _components_cte() + ", "
+        "exact_reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+        "survivors AS ("
+        "  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id "
+        "  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id "
+        f"  WHERE d.n_chars >= {QUALITY_MIN_CHARS} "
+        "    AND d.doc_id IN (SELECT doc_id FROM exact_reps)) "
+        "SELECT component_id, min(doc_id) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_members "
+        "FROM survivors GROUP BY component_id"
+    ),
+)
+def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus dedup pipeline: quality floor → exact dedup
+    (min doc_id per md5(text), the reference's first-occurrence rule) →
+    near-dup clustering → one canonical doc per cluster. Output is one row
+    per surviving cluster: its id, the kept doc, and how many quality
+    survivors it absorbed. Each stage is a pure DataFrame transform, so the
+    whole pipeline is one lazy plan per round plus the CC iterations."""
+    d = table(spark, sf_dir, "documents")
+    exact_reps = (
+        d.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    comp = neardup_components(spark, sf_dir)
+    survivors = (
+        d.filter(F.col("n_chars") >= QUALITY_MIN_CHARS)
+        .join(exact_reps, "doc_id", "left_semi")
+        .join(comp, "doc_id")
+    )
+    return survivors.groupBy("component_id").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_members"),
+    )

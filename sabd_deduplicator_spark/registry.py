@@ -44,6 +44,7 @@ def load_all_queries() -> None:
     from sabd_deduplicator_spark.operators import (  # noqa: F401
         chunker,
         dedup,
+        dedup_clusters,
         encode,
         lookups,
         multimodal,

@@ -1,0 +1,81 @@
+"""connected_components vs a brute-force union-find on random graphs, plus
+cluster-pipeline invariants."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.operators.dedup_clusters import (
+    connected_components,
+    corpus_canonical_docs,
+    neardup_components,
+)
+
+
+def _union_find_components(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component, for every node touching an edge
+    touched = {x for e in edges for x in e}
+    comp_min: dict[int, int] = {}
+    for x in touched:
+        comp_min.setdefault(find(x), min(y for y in touched if find(y) == find(x)))
+    return {x: comp_min[find(x)] for x in touched}
+
+
+def test_components_match_union_find_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _union_find_components(n, edges)
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+            "u long, v long",
+        )
+        got = {
+            r["u"]: r["component_id"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
+def test_components_handle_chain(spark):
+    """Worst-case diameter: a path graph — propagation must still reach the
+    fixpoint (rounds = diameter), labeling every node with node 0."""
+    n = 20
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "u long, v long"
+    )
+    got = connected_components(df).collect()
+    assert {r["component_id"] for r in got} == {0}
+    assert len(got) == n
+
+
+def test_canonical_pipeline_invariants(spark, sf_dir):
+    comp = neardup_components(spark, sf_dir)
+    rows = comp.collect()
+    # component id is always ≤ the member id (min-label semantics)
+    assert all(r["component_id"] <= r["doc_id"] for r in rows)
+    canon = corpus_canonical_docs(spark, sf_dir)
+    crows = canon.collect()
+    # the kept doc belongs to its own cluster and clusters are disjoint
+    assert len({r["component_id"] for r in crows}) == len(crows)
+    assert all(r["n_members"] >= 1 for r in crows)
+    assert all(r["keep_doc_id"] >= r["component_id"] for r in crows)
