@@ -163,3 +163,26 @@ def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_members"),
     )
+
+
+@query(
+    "deterministic_sample_docs",
+    oracle=(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE substring(md5(text), 1, 1) IN ('0', '1')"
+    ),
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 corpus sample keyed on content (first hex nibble of
+    md5(text)): unlike TABLESAMPLE/rand(seed) — whose row selection depends on
+    partition layout and engine RNG — a content-hash predicate selects the
+    SAME documents on any engine, any partitioning, any cluster size. This is
+    the sampling primitive a training pipeline needs for held-out splits and
+    ablations: stable under re-sharding, joins, and re-runs. Embarrassingly
+    parallel (narrow filter, no shuffle); at 100 TB the md5 cost is the scan
+    cost, and the predicate prunes nothing at the file level by design
+    (sampling must see every row)."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5("text"), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "n_chars")
