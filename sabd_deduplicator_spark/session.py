@@ -24,15 +24,21 @@ def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
     import tempfile
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # adversarial-determinism probes (PERF.md): odd partition counts and AQE
+    # off must not change any oracle-checked value
+    shuffle_parts = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8))
+    )
+    aqe = "false" if os.environ.get("SPARK_GRAFT_AQE", "1") in ("0", "false") else "true"
     builder = (
         SparkSession.builder.appName(app_name)
         # keep the metastore warehouse out of the repo cwd (saveAsTable)
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-"))
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        .config("spark.sql.adaptive.skewJoin.enabled", aqe)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # UDTFs eval via Arrow batches (ArrowEvalPythonUDTF), not row pickling
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
