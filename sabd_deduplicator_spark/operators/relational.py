@@ -1153,3 +1153,99 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "range_frame_running_sum",
+    oracle=(
+        # numeric RANGE frame: peers by value distance, not row position
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "  OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum "
+        "FROM orders WHERE o_custkey < 200"
+    ),
+)
+def range_frame_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on a numeric ordering column: for each order, the
+    exact-decimal sum of this customer's orders priced within 5000 below it.
+    RANGE (value-distance peers) vs ROWS (positional peers) is the §2.B
+    frame-spec distinction; ties are safe because RANGE includes ALL peers of
+    the current value, making the frame content order-independent."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("nearby_sum"),
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle=(
+        # TPC-H Q21 shape: EXISTS (another supplier in the order) AND
+        # NOT EXISTS (another LATE supplier) — chained semi + anti join.
+        # "late" = shipped >60 days after the order date.
+        "WITH late AS ("
+        "  SELECT DISTINCT l.l_orderkey, l.l_suppkey "
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY), "
+        "all_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) "
+        "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM late c JOIN supplier s ON c.l_suppkey = s.s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM all_pairs o WHERE o.l_orderkey = c.l_orderkey "
+        "              AND o.l_suppkey <> c.l_suppkey) "
+        "  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = c.l_orderkey "
+        "                  AND l3.l_suppkey <> c.l_suppkey) "
+        "GROUP BY s.s_name"
+    ),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style chained subqueries: suppliers who were the ONLY late
+    shipper in a multi-supplier order. EXISTS → left_semi on a non-equi pair
+    condition, NOT EXISTS → left_anti on the same shape — both shuffle on
+    l_orderkey (same key, so the exchange is reused), supplier dim broadcast.
+    Distinct (order, supplier) pairs first, so each order counts once per
+    supplier regardless of line count."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = l.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+    ).distinct()
+    late3 = late.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    cand = late.join(
+        all_pairs,
+        (F.col("l_orderkey") == F.col("p_orderkey"))
+        & (F.col("l_suppkey") != F.col("p_suppkey")),
+        "left_semi",
+    ).join(
+        late3,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
