@@ -1249,3 +1249,34 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "explode_outer_high_dims",
+    oracle=(
+        # outer-unnest emulation: empty list → [NULL] so the parent row
+        # survives with NULL pos/val (posexplode_outer semantics)
+        "SELECT vec_id, CAST(unnest(pos_l) AS INT) AS pos, "
+        "round(CAST(unnest(hi) AS DOUBLE), 6) AS val FROM ("
+        "  SELECT vec_id, "
+        "  CASE WHEN len(hi0) = 0 THEN [NULL] ELSE range(len(hi0)) END AS pos_l, "
+        "  CASE WHEN len(hi0) = 0 THEN [NULL] ELSE hi0 END AS hi FROM ("
+        "    SELECT vec_id, list_filter(embedding, x -> x > 0.9) AS hi0 "
+        "    FROM embeddings WHERE vec_id < 200))"
+    ),
+)
+def explode_outer_high_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: rows whose filtered array is EMPTY survive with NULL
+    position/value — the outer-vs-inner explode distinction (inner explode
+    silently drops them, the classic fan-out data-loss bug). Narrow op, no
+    shuffle; float>0.9 comparison promotes exactly in both engines."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    hi = F.expr("filter(embedding, x -> x > 0.9)")
+    return e.select("vec_id", hi.alias("hi")).select(
+        "vec_id",
+        F.posexplode_outer("hi"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("col").cast("double"), 6).alias("val"),
+    )

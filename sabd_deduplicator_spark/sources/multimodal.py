@@ -118,3 +118,55 @@ def synthesize_media_blobs(spark, sf_dir: str) -> DataFrame:
         F.pmod(F.col("n_chars") * 7, F.lit(480)).cast("int").alias("meta_height"),
         (F.col("n_chars") * 33).cast("long").alias("meta_duration_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "blob_id bigint, media_type string, target_w int, target_h int, "
+    "out_bytes bigint, out_md5 string"
+)
+
+
+def resize_media_plan(
+    blobs: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize PLUMBING (decode → resample → re-encode), Arrow-batched.
+
+    The codec is stubbed (`_decode_image` raises without Pillow): the stand-in
+    "resample" is a deterministic byte-lattice downsample of the payload to
+    target_w*target_h bytes — wrong pixels, right SHAPE: the batch iterator,
+    binary-in/binary-out signature, output schema, and partition behavior are
+    exactly what a real `img.resize((w, h))` body drops into. Output carries
+    size + md5 of the resampled bytes so tests pin determinism.
+    """
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        n_out = target_w * target_h
+        for pdf in batches:
+            out_bytes, out_md5 = [], []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                if len(b) == 0:
+                    resized = b""
+                else:
+                    idx = np.linspace(0, len(b) - 1, num=min(n_out, len(b)))
+                    resized = np.frombuffer(b, dtype=np.uint8)[
+                        idx.astype(np.int64)
+                    ].tobytes()
+                out_bytes.append(len(resized))
+                out_md5.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "media_type": pdf["media_type"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "out_bytes": out_bytes,
+                    "out_md5": out_md5,
+                }
+            )
+
+    return blobs.mapInPandas(resample, schema=RESIZE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Stream-stream inner join with watermarks (attribution-style).
+
+The last streaming capability class (SURVEY.md §2.B streaming row): joining
+two UNBOUNDED inputs. Spark buffers both sides in state stores and needs
+(a) watermarks on both event-time columns and (b) a time-range join condition
+so it can prove when buffered rows are safe to evict — without both, state
+grows forever. This module joins a click stream to a purchase stream per
+user, attributing each purchase to clicks in the preceding hour.
+
+Kept UNREGISTERED (equivalence-tested vs the batch join instead of
+oracle-registered): inner-join emission is deterministic once both streams
+drain, but the driver's oracle harness runs single-drain batch SQL and the
+watermark-eviction timing is an implementation detail we don't want the
+correctness gate coupled to. tests/test_streaming.py asserts drained results
+equal the batch join exactly.
+
+Scale notes: state is partitioned by the join key (user_id) like any shuffle;
+the watermark bounds per-key state to the join window (1h of clicks), so
+state size is O(arrival rate × window), independent of stream lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Purchases ⋈ clicks of the same user within the prior hour.
+
+    Both inputs may be streaming (with watermarks already applied) or batch —
+    the same plan compiles either way, which is what the equivalence test
+    exploits. Event-time columns must be TIMESTAMP (not NTZ) on the streaming
+    path, so callers cast at the boundary.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        "amount",
+    )
+
+
+def streaming_attribution(
+    spark: SparkSession, staged_dir: str, watermark_delay: str = "2 hours"
+) -> DataFrame:
+    """Build the streaming twin over a staged parquet directory of events.
+
+    Two readStream sources over the same directory (each its own state),
+    filtered to clicks / purchases, watermarked, then the shared
+    `attribution_join` plan.
+
+    watermark_delay must exceed the input's max event-time DISORDER, or rows
+    arriving behind the watermark are dropped as late and matches are lost.
+    A live stream is roughly time-ordered, so hours suffice; a historical
+    replay from randomly-partitioned files (this test's staging) is maximally
+    disordered — batch 1 can contain the newest timestamp — so the delay must
+    cover the whole replayed span. That trade (state size vs completeness on
+    replay) is inherent to watermarking, not an artifact of this engine."""
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged_dir)
+            # stream-stream joins need instant-typed event time for watermarks
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    clicks = (
+        src().filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark_delay)
+    )
+    purchases = (
+        src().filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark_delay)
+    )
+    return attribution_join(clicks, purchases)

@@ -122,3 +122,23 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises((NotImplementedError, Exception)):
         _decode_image(b"not-an-image")
+
+
+def test_resize_media_plan(spark, sf_dir):
+    from sabd_deduplicator_spark.sources.multimodal import resize_media_plan
+
+    blobs = synthesize_media_blobs(spark, sf_dir)
+    out = resize_media_plan(blobs, target_w=16, target_h=16)
+    rows = out.collect()
+    assert len(rows) == blobs.count()
+    lens = dict(
+        blobs.select("blob_id", F.length("payload").alias("len")).collect()
+    )
+    for r in rows:
+        assert r["target_w"] == 16 and r["target_h"] == 16
+        # lattice downsample: out size = min(256, payload size)
+        assert r["out_bytes"] == min(256, lens[r["blob_id"]])
+        assert len(r["out_md5"]) == 32
+    # deterministic across runs (same plan, same md5s)
+    again = {r["blob_id"]: r["out_md5"] for r in out.collect()}
+    assert all(again[r["blob_id"]] == r["out_md5"] for r in rows)

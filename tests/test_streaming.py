@@ -117,3 +117,35 @@ def test_stream_windowed_counts(spark, sf_dir, tmp_path_factory):
     )
     assert j.count() == got.count()
     assert j.filter(F.col("n") != F.col("bn")).count() == 0
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-stream inner join with watermarks drains to exactly the batch
+    join result (same plan, batch inputs)."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.streaming.join_stream import (
+        attribution_join,
+        streaming_attribution,
+    )
+    from sabd_deduplicator_spark.streaming.dedup_stream import run_to_memory_sink
+
+    staged = str(tmp_path_factory.mktemp("events_join_stream"))
+    events = table(spark, sf_dir, "events")
+    events.repartition(6).write.mode("overwrite").parquet(staged)
+
+    # randomly-partitioned staging = maximally disordered replay: the
+    # watermark delay must cover the whole event span (see docstring)
+    got = run_to_memory_sink(
+        streaming_attribution(spark, staged, watermark_delay="400 days"),
+        "attr_sink",
+    ).select("purchase_id", "click_id", "user_id", "amount")
+
+    ev = events.withColumn("ts", F.to_timestamp("ts"))
+    expected = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).select("purchase_id", "click_id", "user_id", "amount")
+
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
