@@ -60,3 +60,41 @@ def append_if_absent(
     fresh = new_rows.join(existing.select(key).distinct(), key, "left_anti")
     fresh.write.mode("append").option("compression", compression).parquet(path)
     return fresh
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    ~target_file_bytes. Returns the output file count.
+
+    Streaming sinks and incremental appends (append_if_absent, foreachBatch
+    index builds) accrete small files; at 100 TB the scan-planning and
+    open-file overhead of millions of tiny files dominates query time, so
+    periodic compaction is a first-class maintenance op (the parquet-level
+    analog of Delta OPTIMIZE). File count = ceil(on-disk bytes / target);
+    on-disk (compressed) size is the available proxy for output size — same
+    codec in and out keeps the estimate honest. Rewrite goes through a temp
+    dir then an atomic-ish swap, so readers never see a half-compacted dir."""
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path(path)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    backup = str(src) + ".pre_compact"
+    shutil.move(str(src), backup)
+    shutil.move(tmp, str(src))
+    shutil.rmtree(backup)
+    return n_files

@@ -142,3 +142,22 @@ def test_resize_media_plan(spark, sf_dir):
     # deterministic across runs (same plan, same md5s)
     again = {r["blob_id"]: r["out_md5"] for r in out.collect()}
     assert all(again[r["blob_id"]] == r["out_md5"] for r in rows)
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from sabd_deduplicator_spark.sources.writers import compact_parquet
+
+    out = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(40).write.parquet(out)  # fragment: 40 tiny files
+    import glob
+    assert len(glob.glob(f"{out}/*.parquet")) == 40
+    before = orders.count()
+    n = compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n < 40
+    after = spark.read.parquet(out)
+    assert after.count() == before
+    # same rows, nothing lost or duplicated
+    assert after.exceptAll(orders).count() == 0
+    assert orders.exceptAll(after).count() == 0
