@@ -1280,3 +1280,90 @@ def explode_outer_high_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.round(F.col("col").cast("double"), 6).alias("val"),
     )
+
+
+@query(
+    "bool_aggregates_orders",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "bool_and(o_totalprice > 1000) AS all_over_1k, "
+        "bool_or(o_orderstatus = 'F') AS any_finished, "
+        "CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open, "
+        "CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def bool_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates (every/some/count_if): the SQL:2023
+    additions both engines ship. Single hash agg, map-side partials."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+    )
+
+
+@query(
+    "levenshtein_close_names",
+    oracle=(
+        # edit-distance self-join on a bounded block (first letter) — the
+        # fuzzy-matching primitive; blocking keeps candidates linear-ish
+        "SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist "
+        "FROM part a JOIN part b "
+        "  ON substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4) "
+        " AND a.p_partkey < b.p_partkey "
+        "WHERE a.p_partkey <= 400 AND b.p_partkey <= 400 "
+        "  AND levenshtein(a.p_name, b.p_name) <= 6"
+    ),
+)
+def levenshtein_close_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with prefix blocking: the equi-join on a
+    4-char prefix is the blocking key (same pattern as the LSH band join —
+    equi-join candidates, verify with the expensive measure on survivors).
+    Unblocked levenshtein is a quadratic cross join — never at scale."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    a = p.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 6)
+        .select("pk_a", "pk_b", "dist")
+    )
+
+
+@query(
+    "try_cast_props_amounts",
+    oracle=(
+        # TRY_CAST breadth: malformed → NULL, never a query-killing error
+        "SELECT event_id, "
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int, "
+        "TRY_CAST(event_type AS BIGINT) AS not_a_number, "
+        "COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default "
+        "FROM events WHERE event_id < 2000"
+    ),
+)
+def try_cast_props_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast semantics under ANSI mode (Spark 4 default): bad casts yield
+    NULL instead of failing the job — the difference between one malformed
+    record poisoning a 100 TB scan and it landing in a quarantine bucket."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("not_a_number"),
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+    )
