@@ -1367,3 +1367,46 @@ def try_cast_props_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(event_type AS BIGINT)").alias("not_a_number"),
         F.coalesce(k, F.lit(-1)).alias("k_or_default"),
     )
+
+
+@query(
+    "set_ops_bag_semantics",
+    oracle=(
+        # bag (ALL) semantics: INTERSECT ALL keeps min(multiplicity),
+        # EXCEPT ALL subtracts multiplicities — vs the distinct variants
+        "SELECT 'intersect_all' AS op, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n FROM ("
+        "  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O' "
+        "  INTERSECT ALL "
+        "  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
+        ") GROUP BY o_orderpriority "
+        "UNION ALL "
+        "SELECT 'except_all' AS op, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n FROM ("
+        "  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O' "
+        "  EXCEPT ALL "
+        "  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"
+        ") GROUP BY o_orderpriority"
+    ),
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll/exceptAll (bag semantics): multiplicities are
+    min-matched/subtracted, not collapsed — the §2.B set-ops row's ALL
+    variants. Both compile to an aggregate of per-side counts plus a
+    generate step, so cost is one shuffle on the compared columns."""
+    o = table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    fin_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    ia = (
+        open_p.intersectAll(fin_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    ea = (
+        open_p.exceptAll(fin_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    return ia.unionByName(ea)
