@@ -128,3 +128,12 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     df = q("not_in_null_aware", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_q21_chained_subqueries_stay_equi_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS with a != residual must plan as equi hash/
+    sort-merge joins on l_orderkey (residual as Join condition), never a
+    BroadcastNestedLoopJoin — the nested loop is quadratic at scale."""
+    plan = formatted_plan(q("q21_sole_late_supplier", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan

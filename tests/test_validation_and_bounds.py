@@ -64,3 +64,30 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     exact = e.select("user_id").distinct().count()
     approx = e.agg(F.approx_count_distinct("user_id").alias("a")).first().a
     assert abs(approx - exact) / exact <= 0.05  # HLL++ default rsd
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    """Approximate-ANN quality gate: IVF top-10 recall@10 against the exact
+    cosine top-10. These synthetic embeddings are near-uniform (no cluster
+    structure for trained centroids to exploit), so measured recall is ~0.5 —
+    the floor of 0.35 is a regression guard (a broken cell assignment or
+    probe selection drops to ≤0.25, the random-probing expectation at 4/16
+    cells), not a quality claim; on real clustered embeddings IVF recall
+    rises with data structure and the PROBES dial. LSH (ann_lsh_topk) is
+    looser by design and only sanity-checked non-empty."""
+    from sabd_deduplicator_spark import registry
+
+    registry.load_all_queries()
+    exact = {
+        r["vec_id"]
+        for r in registry.QUERIES["similarity_topk_cosine"](spark, sf_dir).collect()
+    }
+    ivf = {
+        r["vec_id"]
+        for r in registry.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    assert len(exact) == 10
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.35, f"IVF recall@10 dropped to {recall}"
+    lsh = registry.QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    assert len(lsh) > 0
