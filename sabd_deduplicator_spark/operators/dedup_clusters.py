@@ -186,3 +186,37 @@ def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.substring(F.md5("text"), 1, 1).isin("0", "1")
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "dedup_keep_latest_event",
+    oracle=(
+        # upsert/SCD semantics: LAST writer wins (vs first-occurrence dedup)
+        "SELECT user_id, event_id AS latest_event, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts, event_type FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "    ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+        ") WHERE rn = 1"
+    ),
+)
+def dedup_keep_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-LATEST dedup per key (last-writer-wins upsert/CDC compaction) —
+    the mirror of the reference's first-occurrence rule, and what a mutable-
+    table ingest needs when replaying a changelog. Same single-shuffle
+    row_number plan as dedup_first_occurrence, descending tie-broken order."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            "event_type",
+        )
+    )

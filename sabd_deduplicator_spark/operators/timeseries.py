@@ -165,3 +165,31 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__n", F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle=(
+        # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday → normalize
+        "SELECT CAST(dayofweek(ts) AS INT) AS dow, "
+        "CAST(hour(ts) AS INT) AS hod, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap aggregation (day-of-week × hour-of-day): the
+    load-profile query every ops dashboard runs. One hash aggregate over at
+    most 168 groups — partial aggregation collapses everything map-side.
+    Dialect trap pinned here: Spark's dayofweek is 1-based Sunday, DuckDB's
+    0-based Sunday."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6)
+        .alias("total_value"),
+    )
