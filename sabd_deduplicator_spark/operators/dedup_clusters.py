@@ -220,3 +220,75 @@ def dedup_keep_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@query(
+    "dedup_refcount_salted",
+    oracle=(
+        # same oracle as dedup_refcount: salting must change the PLAN, not
+        # one single value — hash-checked proof of the skew technique
+        "SELECT md5(text) AS hash, count(*) AS refs_num "
+        "FROM documents GROUP BY md5(text)"
+    ),
+)
+def dedup_refcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED reference count: count per (hash, salt) then sum per
+    hash — the explicit defense for pathologically hot keys (one chunk hash
+    holding 10^9 occurrences) in operators where map-side partial aggregation
+    can't save you (collect_list-like aggregates, pinned partitionings).
+    Shuffle 1 carries ≤ n_salts rows per hot key per partition; shuffle 2
+    carries ≤ n_salts rows per key total. Registered against the IDENTICAL
+    oracle as dedup_refcount: the driver hash-proves salting is value-neutral
+    (functions/skew.py holds the generic utilities)."""
+    d = table(spark, sf_dir, "documents")
+    n_salts = 16
+    salted = d.select(F.md5("text").alias("hash")).withColumn(
+        "_salt", F.pmod(F.xxhash64("hash", F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy("hash", "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy("hash").agg(F.sum("_c").alias("refs_num"))
+
+
+@query(
+    "ri_audit_orphans",
+    oracle=(
+        # referential-integrity audit: anti-join per FK edge, zero-row = clean
+        "SELECT 'lineitem_without_order' AS violation, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem l WHERE NOT EXISTS "
+        "  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+        "UNION ALL "
+        "SELECT 'order_without_customer' AS violation, CAST(count(*) AS BIGINT) AS n "
+        "FROM orders o WHERE NOT EXISTS "
+        "  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) "
+        "UNION ALL "
+        "SELECT 'customer_without_nation' AS violation, CAST(count(*) AS BIGINT) AS n "
+        "FROM customer c WHERE NOT EXISTS "
+        "  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)"
+    ),
+)
+def ri_audit_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the FK graph (lineitem→orders→
+    customer→nation): one left_anti count per edge, unioned into a violation
+    report. The data-quality gate an ingest pipeline runs before publishing a
+    snapshot — each anti-join is one shuffle (or broadcast when the parent's
+    keys are small), counts are map-side-combined."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphan_count(child, parent, ck, pk, name):
+        cnt = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("n"))
+        )
+        return cnt.select(F.lit(name).alias("violation"), "n")
+
+    return (
+        orphan_count(l, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+                     "lineitem_without_order")
+        .unionByName(orphan_count(o, c.select("c_custkey"), "o_custkey",
+                                  "c_custkey", "order_without_customer"))
+        .unionByName(orphan_count(c, n, "c_nationkey", "n_nationkey",
+                                  "customer_without_nation"))
+    )
