@@ -1410,3 +1410,30 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
     )
     return ia.unionByName(ea)
+
+
+@query(
+    "string_funcs2_customers",
+    oracle=(
+        "SELECT c_custkey, "
+        "translate(c_name, '#', '-') AS name_dashed, "
+        "reverse(c_mktsegment) AS seg_rev, "
+        "repeat(substring(c_mktsegment, 1, 2), 2) AS seg_2x2, "
+        "split_part(c_name, '#', 1) AS name_head, "
+        "trim(rpad(c_mktsegment, 12, ' ')) AS seg_roundtrip "
+        "FROM customer WHERE c_custkey <= 500"
+    ),
+)
+def string_funcs2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String breadth #2: translate/reverse/repeat/split_part/trim+rpad —
+    the portable subset both engines ship (DuckDB 1.0 lacks initcap/overlay;
+    those stay Spark-only and unregistered). Narrow projection, codegen'd."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "#", "-").alias("name_dashed"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("seg_2x2"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.trim(F.rpad("c_mktsegment", 12, " ")).alias("seg_roundtrip"),
+    )

@@ -91,3 +91,21 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall@10 dropped to {recall}"
     lsh = registry.QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
     assert len(lsh) > 0
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """percentile_approx (the 100 TB path — mergeable sketch, map-side
+    combine) must land within the exact quantile's neighborhood: with
+    accuracy=10000 the rank error bound is n/10000, far under 1% of n here,
+    so the approx median/p90 must fall between the exact p45-p55 / p85-p95."""
+    from pyspark.sql import functions as F
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = l.agg(
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("ap50"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 10000)").alias("ap90"),
+        F.expr("percentile(l_extendedprice, array(0.45, 0.55, 0.85, 0.95))").alias("ex"),
+    ).first()
+    p45, p55, p85, p95 = row["ex"]
+    assert p45 <= row["ap50"] <= p55
+    assert p85 <= row["ap90"] <= p95
