@@ -34,6 +34,7 @@ from sabd_deduplicator_spark.operators.encode import (
     POINTER_WIDTH,
     decode_tokens,
     encode_chunks,
+    required_pointer_width,
 )
 
 
@@ -43,6 +44,7 @@ class DedupResult:
     chunks: DataFrame      # file_id, line, chunk
     hash_links: DataFrame  # hash, file_id, line, refs_num
     tokens: DataFrame      # file_id, line, token
+    pointer_width: int = POINTER_WIDTH  # width tokens were encoded with
 
 
 def deduplicate(
@@ -52,11 +54,16 @@ def deduplicate(
     text_col: str = "text",
     chunk_size: int = 16,
     algorithm: str = "md5",
-    pointer_width: int = POINTER_WIDTH,
+    pointer_width: int | None = POINTER_WIDTH,
 ) -> DedupResult:
     """Full dedup pipeline over a corpus DataFrame (one row per document /
     file). Mirrors deduplicate_file's observable outputs; every piece is a
-    lazy plan the caller can persist or extend."""
+    lazy plan the caller can persist or extend.
+
+    pointer_width bounds the encodable chunk count per file at
+    10**pointer_width; encode_chunks raises loudly (never truncates) past
+    it. Pass pointer_width=None to auto-size from the corpus (one extra
+    scalar-aggregation job over the narrow chunk scan)."""
     named = docs.select(
         F.col(id_col).alias("file_id"),
         F.col(id_col).cast("string").alias("filename"),
@@ -69,11 +76,19 @@ def deduplicate(
         F.lit(algorithm).alias("algorithm"),
     )
     chunks = chunk_fixed(named, text_col="text", id_cols=("file_id",), size=chunk_size)
+    if pointer_width is None:
+        pointer_width = required_pointer_width(chunks)
     links = build_hash_links(chunks, algorithm=algorithm)
     tokens = encode_chunks(
         chunks, file_col="file_id", algorithm=algorithm, pointer_width=pointer_width
     )
-    return DedupResult(files=files, chunks=chunks, hash_links=links, tokens=tokens)
+    return DedupResult(
+        files=files,
+        chunks=chunks,
+        hash_links=links,
+        tokens=tokens,
+        pointer_width=pointer_width,
+    )
 
 
 def recover(

@@ -6,7 +6,9 @@ Token grammar (/root/reference/lib/deduplicator/binary_utils.ex:4-7):
 
 Engine decisions vs the reference (SURVEY.md §4 hazards):
 - pointer width W is a PARAMETER (reference hardcodes 4 → silent corruption
-  past 9999 chunks, binary_utils.ex:42-45);
+  past 9999 chunks, binary_utils.ex:42-45), and encode raises loudly on a
+  pointer that would not fit in W digits instead of truncating; size W with
+  required_pointer_width() when chunk counts are unbounded;
 - pointer "0000" decodes fine via a plain int cast (reference crashes:
   deduplicator.ex:197-200 trims all leading zeros then String.to_integer(""));
 - dedup scope here is per-file (pointers are file-local line numbers), so
@@ -46,15 +48,43 @@ def encode_chunks(
     w = Window.partitionBy(file_col, "hash")
     hashed = chunks.withColumn("hash", content_hash("chunk", algorithm))
     first_line = F.min("line").over(w)
+    # Overflow guard: lpad TRUNCATES a too-wide line number to its leftmost
+    # digits, encoding a pointer to the WRONG line — recover() would then
+    # return same-length wrong bytes with no error (the reference's silent
+    # hazard at binary_utils.ex:42-45, width hardcoded to 4). Byte-exact
+    # recovery is the core safety property, so fail loudly at encode time
+    # instead. CASE WHEN is lazily evaluated per row, so the error fires
+    # only when an out-of-range pointer is actually produced.
+    limit = 10**pointer_width
+    pointer_payload = F.when(
+        first_line >= F.lit(limit),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pointer overflow: first-occurrence line >= "
+                    f"10^{pointer_width}; re-encode with pointer_width >= "
+                ),
+                F.length(first_line.cast("string")).cast("string"),
+                F.lit(" (see required_pointer_width) for file "),
+                F.col(file_col).cast("string"),
+            )
+        ).cast("string"),
+    ).otherwise(F.lpad(first_line.cast("string"), pointer_width, "0"))
     token = F.when(
         F.col("line") == first_line, F.concat(F.lit(LITERAL), F.col("chunk"))
-    ).otherwise(
-        F.concat(
-            F.lit(POINTER),
-            F.lpad(first_line.cast("string"), pointer_width, "0"),
-        )
-    )
+    ).otherwise(F.concat(F.lit(POINTER), pointer_payload))
     return hashed.select(file_col, "line", token.alias("token"))
+
+
+def required_pointer_width(chunks: DataFrame, line_col: str = "line") -> int:
+    """Smallest pointer_width whose encoding cannot overflow this corpus:
+    the digit count of max(line). One scalar aggregation job (a single-row
+    collect — cheap at any scale); use when the chunk count per file is not
+    known a priori, e.g. api.deduplicate(pointer_width=None)."""
+    max_line = chunks.agg(F.max(line_col)).first()[0]
+    if max_line is None:
+        return 1
+    return max(1, len(str(int(max_line))))
 
 
 def decode_tokens(

@@ -5,8 +5,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from sabd_deduplicator_spark.operators.chunker import chunk_fixed
-from sabd_deduplicator_spark.operators.encode import encode_chunks, validate_tokens
+from sabd_deduplicator_spark.operators.encode import (
+    decode_tokens,
+    encode_chunks,
+    required_pointer_width,
+    validate_tokens,
+)
 
 
 def test_valid_stream_has_no_violations(spark):
@@ -36,6 +43,51 @@ def test_corrupted_streams_are_flagged(spark):
         (0, 4): "dangling_pointer",
         (1, 0): "dangling_pointer",
     }
+
+
+def _chunks_with_late_duplicate(spark, first_line: int):
+    """first_line+1 distinct chunks, then one duplicate of the last — the
+    pointer must encode `first_line`."""
+    base = spark.range(first_line + 1).select(
+        F.lit(0).alias("doc_id"),
+        F.col("id").alias("line"),
+        F.concat(F.lit("c"), F.col("id")).alias("chunk"),
+    )
+    dup = spark.createDataFrame(
+        [(0, first_line + 1, f"c{first_line}")],
+        "doc_id long, line long, chunk string",
+    )
+    return base.unionByName(dup)
+
+
+def test_pointer_overflow_raises_instead_of_truncating(spark):
+    """The advisor-demonstrated corruption: at pointer_width=4 a pointer to
+    line 10500 used to lpad-TRUNCATE to '1050' and recover() returned wrong
+    bytes silently. Encode must now fail loudly at the default width and
+    roundtrip byte-exactly at a sufficient width."""
+    chunks = _chunks_with_late_duplicate(spark, first_line=10500)
+    with pytest.raises(Exception, match="pointer overflow"):
+        encode_chunks(chunks).collect()
+    assert required_pointer_width(chunks) == 5
+    tokens = encode_chunks(chunks, pointer_width=5)
+    got = {
+        (r.doc_id, r.line): r.chunk
+        for r in decode_tokens(tokens, pointer_width=5).collect()
+    }
+    want = {(r.doc_id, r.line): r.chunk for r in chunks.collect()}
+    assert got == want
+
+
+def test_deduplicate_auto_sizes_pointer_width(spark):
+    from sabd_deduplicator_spark import api
+
+    docs = spark.createDataFrame(
+        [(0, "ab" * 12 + "zz")], "doc_id long, text string"
+    )
+    res = api.deduplicate(spark, docs, chunk_size=2, pointer_width=None)
+    assert res.pointer_width == 2  # 13 chunks → max line 12 → width 2
+    text = api.reassemble(api.recover(res.tokens, pointer_width=res.pointer_width))
+    assert text.first().text == "ab" * 12 + "zz"
 
 
 def test_unicode_chunking_counts_chars_not_bytes(spark):
