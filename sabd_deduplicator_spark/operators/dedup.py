@@ -59,6 +59,38 @@ def first_occurrence(df: DataFrame, hash_col: str = "hash", *order_cols: str) ->
 # hazard 2). Packing matters because min(struct(...)) falls back to a
 # SortAggregate, while min(long) stays a HashAggregate with map-side combine.
 _LINE_BITS = 24
+_FILE_BITS = 38
+
+
+def _packed_ordinal(file_col: str, line_col: str) -> F.Column:
+    """(file_id, line) packed into one long, lexicographic under plain min.
+    Out-of-range ids would silently pack into a WRONG ordinal (line bleeding
+    into file bits), so the expression raises instead — a per-row comparison
+    against two constants, negligible next to the md5 beside it, and CASE
+    WHEN keeps the aggregate a codegen'd HashAggregate."""
+    line = F.col(line_col).cast("long")
+    fid = F.col(file_col).cast("long")
+    bad = (
+        (line < 0)
+        | (line >= F.lit(1 << _LINE_BITS))
+        | (fid < 0)
+        | (fid >= F.lit(1 << _FILE_BITS))
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "packed ordinal out of range: need 0 <= line < "
+                    f"2^{_LINE_BITS} and 0 <= file_id < 2^{_FILE_BITS}, got "
+                    "line="
+                ),
+                line.cast("string"),
+                F.lit(" file_id="),
+                fid.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(fid * (1 << _LINE_BITS) + line)
 
 
 def build_hash_links(
@@ -74,7 +106,7 @@ def build_hash_links(
     window sort: the first occurrence is min(file_id << 24 | line), a plain
     long min (lexicographic on the packed pair).
     """
-    packed = (F.col(file_col).cast("long") * (1 << _LINE_BITS)) + F.col(line_col)
+    packed = _packed_ordinal(file_col, line_col)
     hashed = chunks.withColumn("hash", content_hash(chunk_col, algorithm))
     return hashed.groupBy("hash").agg(
         F.min(packed).alias("_first"),
@@ -109,16 +141,15 @@ def merge_hash_links(existing: DataFrame, new_chunks: DataFrame, **kw) -> DataFr
         "_src", F.lit(0)
     ).unionByName(new_links.withColumn("_src", F.lit(1)))
     packed = (
-        F.col("_src").cast("long") * (1 << (_LINE_BITS + 38))
-        + F.col("file_id") * (1 << _LINE_BITS)
-        + F.col("line")
+        F.col("_src").cast("long") * (1 << (_LINE_BITS + _FILE_BITS))
+        + _packed_ordinal("file_id", "line")
     )
     return both.groupBy("hash").agg(
         F.min(packed).alias("_first"),
         F.sum("refs_num").alias("refs_num"),
     ).select(
         "hash",
-        F.expr(f"shiftright(_first, {_LINE_BITS}) & {(1 << 38) - 1}").alias("file_id"),
+        F.expr(f"shiftright(_first, {_LINE_BITS}) & {(1 << _FILE_BITS) - 1}").alias("file_id"),
         F.expr(f"_first & {(1 << _LINE_BITS) - 1}").alias("line"),
         "refs_num",
     )

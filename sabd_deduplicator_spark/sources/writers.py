@@ -75,26 +75,52 @@ def compact_parquet(
     periodic compaction is a first-class maintenance op (the parquet-level
     analog of Delta OPTIMIZE). File count = ceil(on-disk bytes / target);
     on-disk (compressed) size is the available proxy for output size — same
-    codec in and out keeps the estimate honest. Rewrite goes through a temp
-    dir then an atomic-ish swap, so readers never see a half-compacted dir."""
+    codec in and out keeps the estimate honest.
+
+    Swap protocol: stage NEXT TO the live dir (same filesystem, so both moves
+    are true renames, never slow cross-device copies), verify the staged copy
+    is readable and row-complete BEFORE touching the live path, then swap via
+    two renames and drop the backup only after the swap lands. A crash midway
+    leaves either the old dir live or the data intact in `.pre_compact` with
+    an exception raised — never a silent loss. POSIX has no two-directory
+    atomic exchange, so concurrent readers can observe a missing path for the
+    instant between the two renames; single-writer maintenance windows (or a
+    pointer-file indirection like streaming/index_sink.py's) are the
+    production answer."""
     import math
+    import os
     import shutil
-    import tempfile
     from pathlib import Path
 
-    src = Path(path)
+    src = Path(path).resolve()
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    live_rows = spark.read.parquet(str(src)).count()
+    staging = src.with_name(src.name + ".compact_staging")
+    if staging.exists():
+        shutil.rmtree(staging)
     (
-        df.repartition(n_files)
+        spark.read.parquet(str(src))
+        .repartition(n_files)
         .write.mode("overwrite")
         .option("compression", compression)
-        .parquet(tmp)
+        .parquet(str(staging))
     )
-    backup = str(src) + ".pre_compact"
-    shutil.move(str(src), backup)
-    shutil.move(tmp, str(src))
+    staged_rows = spark.read.parquet(str(staging)).count()
+    if staged_rows != live_rows:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"compaction aborted: staged copy has {staged_rows} rows, live has "
+            f"{live_rows}; live directory untouched"
+        )
+    backup = src.with_name(src.name + ".pre_compact")
+    if backup.exists():
+        shutil.rmtree(backup)
+    os.rename(src, backup)
+    try:
+        os.rename(staging, src)
+    except BaseException:
+        os.rename(backup, src)  # restore the live path, then surface the error
+        raise
     shutil.rmtree(backup)
     return n_files

@@ -90,6 +90,28 @@ def test_deduplicate_auto_sizes_pointer_width(spark):
     assert text.first().text == "ab" * 12 + "zz"
 
 
+def test_packed_ordinal_out_of_range_raises(spark):
+    """build_hash_links packs (file_id, line) into one long; ids past the
+    documented bits must raise, not silently link the wrong first
+    occurrence."""
+    from sabd_deduplicator_spark.operators.dedup import build_hash_links
+
+    ok = spark.createDataFrame(
+        [(1, 5, "x"), (2, 5, "x")], "file_id long, line long, chunk string"
+    )
+    assert build_hash_links(ok).first().file_id == 1
+    bad_line = spark.createDataFrame(
+        [(1, 1 << 24, "x")], "file_id long, line long, chunk string"
+    )
+    with pytest.raises(Exception, match="packed ordinal out of range"):
+        build_hash_links(bad_line).collect()
+    bad_file = spark.createDataFrame(
+        [(1 << 38, 0, "x")], "file_id long, line long, chunk string"
+    )
+    with pytest.raises(Exception, match="packed ordinal out of range"):
+        build_hash_links(bad_file).collect()
+
+
 def test_unicode_chunking_counts_chars_not_bytes(spark):
     """The text chunker is CHARACTER-based (documents are strings); the
     byte-exact path for binary data is sources/readers.chunk_binary_content.
