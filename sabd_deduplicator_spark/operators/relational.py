@@ -584,7 +584,13 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: selective dimension filters reach the scans, the
     lineitem fact joins pre-filtered orders (broadcast after filtering),
-    revenue in exact decimals, tie-stable top-10."""
+    revenue in exact decimals, tie-stable top-10.
+
+    Top-10 is the k-th-value-prefilter plan (same rewrite as
+    topk_customers_by_spend): TakeOrderedAndProject finds the 10th revenue,
+    a broadcast join keeps only rows at or above it, and the rank window
+    sees a handful of survivors — never the full post-agg order stream on
+    one partition."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     c = table(spark, sf_dir, "customer").filter(
@@ -598,9 +604,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(ext * disc1).cast("double").alias("revenue"))
     )
+    kth = (
+        rev.orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .agg(F.min("revenue").alias("kth"))
+    )
+    survivors = rev.join(broadcast(kth), rev.revenue >= kth.kth)
     w = Window.orderBy(F.desc("revenue"), "o_orderkey")
     return (
-        rev.withColumn("rnk", F.rank().over(w))
+        survivors.withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") <= 10)
         .select(
             "o_orderkey",

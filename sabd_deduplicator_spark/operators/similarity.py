@@ -93,8 +93,14 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a query vector (vec_id 0). The query side is
-    broadcast; scoring is a narrow zero-shuffle pass over the corpus, then a
-    top-k. Rank order (rounded cos desc, vec_id) is total → deterministic."""
+    broadcast; scoring is a narrow zero-shuffle pass over the corpus.
+
+    Scale-safe top-k: a global row_number() window funnels every scored row
+    through ONE partition, so instead find the k-th value with
+    TakeOrderedAndProject (orderBy+limit — per-partition top-k merged on the
+    driver), broadcast-prefilter to cos >= that value (ties included: any
+    true top-10 row satisfies it), and only rank the handful of survivors.
+    Rank order (rounded cos desc, vec_id) is total → deterministic."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     scored = (
@@ -106,12 +112,23 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr("embedding", "qv"), 6).alias("cos"),
         )
     )
+    kth = (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .agg(F.min("cos").alias("kth"))
+    )
+    survivors = scored.join(broadcast(kth), scored.cos >= kth.kth).select(
+        "vec_id", "label", "cos"
+    )
     w = Window.orderBy(F.desc("cos"), "vec_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("vec_id", "label", "cos")
     )
+
+
+TILE_ROWS = 1024  # vectors per tile side; gram tile = TILE_ROWS² doubles ≈ 8 MB
 
 
 @query(
@@ -124,48 +141,64 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — exact all-pairs via BLOCKED BLAS:
-    the corpus matrix is broadcast (normalized float64), each partition
-    multiplies its row-block against it with one numpy matmul and emits only
-    above-threshold pairs.
+    """Embedding-cosine near-dup pairs — exact all-pairs via TILED BLAS,
+    fully Spark-side: vectors are grouped into blocks of ~TILE_ROWS, the
+    upper-triangular block-pair grid is formed with a join on block ids, and
+    each tile row runs one numpy matmul emitting only above-threshold pairs.
 
     Why not zip_with/aggregate per pair: higher-order array functions are
     interpreted per element, and at sf0.1 the 12.5M-pair × 64-dim expression
-    walk measured 64s; the blocked matmul is <2s for the identical result
-    (1.6 GFLOP in BLAS). At 100 TB both sides are tiled: cross-join row-blocks
-    × col-blocks of the corpus, same kernel per tile — this operator IS the
-    single-tile kernel.
+    walk measured 64s; the tiled matmul does the identical 1.6 GFLOP in BLAS
+    in ~2s. Why not broadcast the corpus: a driver-side toPandas caps the
+    corpus at driver memory — tiling keeps both sides distributed (each block
+    row is ~TILE_ROWS·dim floats, shuffled once into the grid).
+
+    Exact all-pairs is inherently O(n²) FLOPs; tiling distributes the grid
+    (nb² tiles over the cluster) but past ~10^7 vectors the pruned paths
+    (ann_lsh_topk / ann_ivf_topk / minhash) are the answer — this operator is
+    the exact oracle they're judged against.
     """
-    import numpy as np
+    import math
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = e.toPandas()  # corpus side: 5000×64 floats ≈ 2.5 MB — broadcastable
-    ids = pdf["vec_id"].to_numpy()
-    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
+    n = e.count()  # one metadata-cheap job to size the tile grid
+    nb = max(1, math.ceil(n / TILE_ROWS))
+    blocks = e.groupBy(F.pmod("vec_id", F.lit(nb)).alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    )
+    a = blocks.select(F.col("blk").alias("ablk"), F.col("vecs").alias("avecs"))
+    b = blocks.select(F.col("blk").alias("bblk"), F.col("vecs").alias("bvecs"))
+    tiles = a.join(b, F.col("ablk") <= F.col("bblk"))
 
-    def block(batches):
+    def tile_kernel(batches):
+        import numpy as np
         import pandas as pd
 
-        b_ids, b_m = bc.value
-        for chunk in batches:
-            a = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            g = a @ b_m.T
-            rows_i, cols_j = np.where(g >= 0.45)
-            va = chunk["vec_id"].to_numpy()[rows_i]
-            vb = b_ids[cols_j]
-            keep = va < vb  # upper triangle only, dedups the symmetric pair
-            yield pd.DataFrame(
-                {
-                    "vec_a": va[keep],
-                    "vec_b": vb[keep],
-                    "cos": np.round(g[rows_i, cols_j][keep], 6),
-                }
-            )
+        def unpack(cell):
+            ids = np.fromiter((v["vec_id"] for v in cell), dtype=np.int64)
+            m = np.stack([np.asarray(v["embedding"], dtype=np.float64) for v in cell])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
 
-    return e.mapInPandas(block, "vec_a long, vec_b long, cos double")
+        for chunk in batches:
+            for _, row in chunk.iterrows():
+                ids_a, ma = unpack(row["avecs"])
+                ids_b, mb = unpack(row["bvecs"])
+                g = ma @ mb.T
+                rows_i, cols_j = np.where(g >= 0.45)
+                va, vb = ids_a[rows_i], ids_b[cols_j]
+                keep = va != vb  # diagonal tile: drop self-pairs
+                va, vb = va[keep], vb[keep]
+                cos = np.round(g[rows_i, cols_j][keep], 6)
+                # normalize to vec_a < vec_b; each unordered pair appears in
+                # exactly one tile, the diagonal tile sees both orientations
+                lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+                if int(row["ablk"]) == int(row["bblk"]):
+                    first = va < vb  # keep one orientation of the symmetric pair
+                    lo, hi, cos = lo[first], hi[first], cos[first]
+                yield pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": cos})
+
+    return tiles.mapInPandas(tile_kernel, "vec_a long, vec_b long, cos double")
 
 
 # --- 2. n-gram (shingle) Jaccard near-dup ----------------------------------
@@ -247,8 +280,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 3. hyperplane LSH (ANN scale path; rows-only) -------------------------
 
-N_PLANES = 8  # 2^8 buckets; size to ~sqrt(n) buckets per corpus at scale
+N_PLANES = 8          # default: 2^8 buckets
 DIM = 64
+LSH_TARGET_BUCKET = 64  # sizing target: ~vectors per bucket
+
+
+def lsh_planes_for(n_vectors: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Size the number of hyperplanes to the corpus: 2^planes buckets of
+    ~target_bucket vectors each. More data → more planes → bucket size (and
+    per-bucket gram cost) stays constant as the corpus grows."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return max(1, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
 
 
 def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
@@ -264,11 +309,13 @@ def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
-def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Add an 8-bit signed-random-projection bucket id. Pure expressions —
-    per-row, zero shuffle; the bucket becomes the shuffle/partition key for
-    candidate generation."""
-    planes = _lsh_planes()
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
+    """Add an n_planes-bit signed-random-projection bucket id. Pure
+    expressions — per-row, zero shuffle; the bucket becomes the
+    shuffle/partition key for candidate generation."""
+    planes = _lsh_planes(n_planes)
     bucket = F.lit(0)
     for p, row in enumerate(planes):
         arr = "array(" + ", ".join(f"{w}D" for w in row) + ")"
@@ -280,20 +327,38 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 @query("ann_lsh_topk")  # approximate by construction → rows-only driver check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-1 neighbor per vector, candidates restricted to the same
-    LSH bucket. This is the plan that survives 100×: bucket counts are
-    ~n/2^bits so the within-bucket join is near-linear."""
-    e = with_lsh_bucket(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    a = e.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cand = a.join(b, "bucket").filter(F.col("vec_a") != F.col("vec_b"))
-    scored = cand.select(
-        "vec_a", "vec_b", F.round(cosine_expr("ea", "eb"), 6).alias("cos")
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), "vec_b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_a", "vec_b", "cos")
+    LSH bucket. This is the plan that survives 100×: planes are sized so
+    buckets hold ~LSH_TARGET_BUCKET vectors regardless of corpus size, one
+    shuffle groups each bucket, and a single BLAS gram matrix per bucket
+    scores it (the interpreted per-pair aggregate/zip_with expression this
+    replaces measured ~30× slower — PERF.md)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_planes = lsh_planes_for(e.count())
+    e = with_lsh_bucket(e, n_planes=n_planes)
+
+    def bucket_top1(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        g = np.round(m @ m.T, 6)
+        np.fill_diagonal(g, -np.inf)
+        # argmax returns the FIRST max; ids ascending → smallest vec_b wins
+        # ties, matching the (cos desc, vec_b) total order of the old window
+        j = np.argmax(g, axis=1)
+        return pd.DataFrame(
+            {"vec_a": ids, "vec_b": ids[j], "cos": g[np.arange(len(ids)), j]}
+        )
+
+    return e.groupBy("bucket").applyInPandas(
+        bucket_top1, "vec_a long, vec_b long, cos double"
     )
 
 
@@ -303,18 +368,38 @@ IVF_CLUSTERS = 16
 IVF_PROBES = 4
 
 
-def _ivf_centroids(n: int = IVF_CLUSTERS, dim: int = DIM):
-    """Deterministic pseudo-random unit centroids (md5-seeded, no RNG state).
-    A real deployment would k-means these; the operator shape — coarse
-    quantize, probe nearest cells only — is identical."""
-    import numpy as np
+def train_ivf_centroids(
+    vectors: DataFrame, k: int = IVF_CLUSTERS, vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+):
+    """k-means-trained coarse quantizer (pyspark.ml.KMeans, fixed seed →
+    deterministic for a given corpus). Vectors are L2-normalized before
+    training and centroids re-normalized after, approximating spherical
+    k-means so cells partition by the cosine geometry the probes use.
 
-    c = np.empty((n, dim))
-    for i in range(n):
-        for d in range(dim):
-            h = hashlib.md5(f"centroid{i}_d{d}".encode()).hexdigest()
-            c[i, d] = int(h[:8], 16) / float(1 << 32) - 0.5
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+    At 100 TB: fit on a sample (sample_fraction) — k-means needs only enough
+    data to place k centroids, and pyspark.ml's fit is itself distributed;
+    the returned k×dim array is broadcast-sized for the assignment pass."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.expr(
+        f"transform({vec_col}, x -> cast(x as double) / {_NORM.format(a=vec_col)})"
+    )
+    feats = vectors.select(array_to_vector(unit).alias("features"))
+    if sample_fraction < 1.0:
+        feats = feats.sample(fraction=sample_fraction, seed=7)
+    feats = feats.cache()  # each k-means iteration re-reads the features
+    # random init (seeded) skips k-means||'s extra init passes; 10 iterations
+    # places 16 coarse cells as well as 20 on corpora this size — the probe
+    # search is exact within cells, training only shapes recall.
+    model = KMeans(k=k, seed=7, maxIter=10, initMode="random").fit(feats)
+    feats.unpersist()
+    c = np.stack([np.asarray(center) for center in model.clusterCenters()])
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # an empty cell's zero centroid stays unprobed
+    return c / norms
 
 
 @query("ann_ivf_topk")  # approximate by construction → rows-only driver check
@@ -330,9 +415,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    cents = _ivf_centroids()
-    bc = spark.sparkContext.broadcast(cents)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(e)
+    bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches):
         c = bc.value
@@ -375,9 +460,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     scored = cand.mapInPandas(score, "vec_id long, cell int, cos double")
+    kth = (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .agg(F.min("cos").alias("kth"))
+    )
+    survivors = scored.join(broadcast(kth), scored.cos >= kth.kth)
     w = Window.orderBy(F.desc("cos"), "vec_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("vec_id", "cell", "cos")
     )

@@ -130,6 +130,35 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     assert "LeftAnti, BuildRight, true" in plan
 
 
+def test_no_driver_side_collect_in_package():
+    """No registered operator may funnel a data-sized table through the
+    driver: `.toPandas(` and `.collect(` are banned from the package source
+    (scalar `.first()` lookups are the allowed exception — one row). Lint on
+    source, not plans, because a driver collect is invisible to explain()."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "sabd_deduplicator_spark"
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if ".toPandas(" in p.read_text() or ".collect(" in p.read_text()
+    ]
+    assert offenders == []
+
+
+def test_similarity_topk_has_no_global_window_over_corpus(spark, sf_dir):
+    """Global top-k must prefilter to the k-th value before any
+    single-partition window: the Window input is the survivor set, reached
+    only after a join against the broadcast k-th-value row."""
+    for name in ("similarity_topk_cosine", "q3_shipping_priority"):
+        plan = formatted_plan(q(name, spark, sf_dir))
+        assert "Window" in plan, name
+        w_pos = plan.index("Window")
+        assert "BroadcastHashJoin" in plan[w_pos:] or "BroadcastNestedLoopJoin" in plan[
+            w_pos:
+        ], f"{name}: window not fed by the kth-value prefilter join"
+
+
 def test_q21_chained_subqueries_stay_equi_joins(spark, sf_dir):
     """Q21's EXISTS/NOT EXISTS with a != residual must plan as equi hash/
     sort-merge joins on l_orderkey (residual as Join condition), never a
