@@ -4,6 +4,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf":
 
 Each query is executed to a `noop` sink so the FULL result is computed
 (df.count() would let Catalyst prune expensive projections).
+
+The stdout line must stay parseable from a bounded tail capture (the grading
+driver records the last 2000 characters), so `queries` holds only the slowest
+entries and the full per-query map is written to BENCH_DETAIL.json next to
+this script — that file is the mechanical round-over-round regression diff.
 """
 
 from __future__ import annotations
@@ -51,17 +56,40 @@ def main() -> None:
         if dt == dt:  # not NaN
             total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_queries": len(per_query),
+    }
+    detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
+
+    failed = sorted(name for name, dt in per_query.items() if dt != dt)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in per_query.items() if t == t),
+            key=lambda kv: -kv[1],
+        )[:15]
     )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "n_queries": len(per_query),
+            "n_failed": len(failed),
+            "failed": failed[:10],
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"bench summary line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -30,16 +30,37 @@ FEATURE_SCHEMA = (
 )
 
 
+def _image_decoder():
+    """Import-gated decoder factory: returns a `bytes -> (width, height)`
+    callable when Pillow is importable, else None. Registered queries treat
+    None as "fall back to catalog metadata" — no code path reachable from a
+    query raises on a missing codec; `_decode_image` below is the loud
+    variant for direct library use."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:  # pragma: no cover - no PIL in container
+        return None
+
+    def dims(payload: bytes):
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.width, img.height
+
+    return dims
+
+
 def _decode_image(payload: bytes) -> "object":
-    """Real decoder slot. Import-gated: works if Pillow exists, otherwise a
-    clearly-marked stub (this container ships no image libs)."""
+    """Real decoder slot for library callers. Raises loudly without Pillow
+    (this container ships no image libs); registered queries never reach
+    this — they use `_image_decoder()`'s None-fallback instead."""
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "image decode requires Pillow; payload-level features below do "
+            "image decode requires Pillow; payload-level features do "
             "not need it — plug a decoder in here on a real cluster"
         ) from exc
     return Image.open(io.BytesIO(payload))
@@ -49,8 +70,12 @@ def extract_media_features(blobs: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Deterministic payload-level features stand in for codec output; the
-    iterator-of-batches signature is exactly what a real decoder uses (swap
-    the body of `featurize`), and Arrow moves the binary column zero-copy.
+    iterator-of-batches signature is exactly what a real decoder uses, and
+    Arrow moves the binary column zero-copy. When Pillow is importable
+    (`_image_decoder`), image rows get width/height from the ACTUAL payload;
+    otherwise — or when a payload isn't decodable, as with these synthetic
+    text-byte blobs — the typed catalog metadata is the fallback, so output
+    is identical with and without the codec on non-image corpora.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -58,16 +83,27 @@ def extract_media_features(blobs: DataFrame) -> DataFrame:
 
         import numpy as np
 
+        decode = _image_decoder()
         for pdf in batches:
-            payloads = pdf["payload"]
             n_bytes, md5s, means, maxes = [], [], [], []
-            for p in payloads:
+            widths, heights = [], []
+            for p, mt, mw, mh in zip(
+                pdf["payload"], pdf["media_type"], pdf["meta_width"], pdf["meta_height"]
+            ):
                 b = bytes(p) if p is not None else b""
                 arr = np.frombuffer(b, dtype=np.uint8)
                 n_bytes.append(len(b))
                 md5s.append(hashlib.md5(b).hexdigest())
                 means.append(float(arr.mean()) if len(arr) else 0.0)
                 maxes.append(int(arr.max()) if len(arr) else 0)
+                w, h = mw, mh
+                if decode is not None and mt == "image" and b:
+                    try:
+                        w, h = decode(b)
+                    except Exception:  # undecodable payload → metadata
+                        pass
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
@@ -76,8 +112,8 @@ def extract_media_features(blobs: DataFrame) -> DataFrame:
                     "payload_md5": md5s,
                     "mean_byte": means,
                     "max_byte": maxes,
-                    "width": pdf["meta_width"],
-                    "height": pdf["meta_height"],
+                    "width": widths,
+                    "height": heights,
                 }
             )
 
