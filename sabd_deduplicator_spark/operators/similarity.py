@@ -201,6 +201,129 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.mapInPandas(tile_kernel, "vec_a long, vec_b long, cos double")
 
 
+# --- 1b. exact k-NN join (tiled, every vector) ------------------------------
+
+# Packed ranking ordinal for distributed argmax with deterministic ties:
+# (cos rounded to 1e-6, shifted non-negative) in the high bits, bitwise-
+# inverted neighbor id in the low 40 → max(ord) == (max cos, then MIN vec_b).
+_KNN_ID_BITS = 40
+_COS_SHIFT = 2_000_000  # cos*1e6 ∈ [-1e6, 1e6] → shift ≥ 0
+
+
+@query(
+    "knn_exact_top1",
+    oracle=(
+        "WITH c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("
+        + _cosine_sql("a.embedding", "b.embedding")
+        + ", 6) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
+        "SELECT vec_a, vec_b, cos FROM ("
+        "  SELECT vec_a, vec_b, cos, ROW_NUMBER() OVER "
+        "    (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rn FROM c"
+        ") WHERE rn = 1"
+    ),
+)
+def knn_exact_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor for EVERY vector (the all-pairs k-NN join that
+    grades ANN recall): the same tiled-BLAS grid as embedding_neardup_pairs,
+    but each tile emits per-row tile-local argmaxes for BOTH of its blocks,
+    and one hash aggregate merges tile winners via a packed (cos, ¬vec_b)
+    long — max(long) keeps the merge a map-side-combining HashAggregate with
+    deterministic (cos desc, vec_b asc) ties, no window, no join-back."""
+    import math
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    nb = max(1, math.ceil(n / TILE_ROWS))
+    blocks = e.groupBy(F.pmod("vec_id", F.lit(nb)).alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    )
+    a = blocks.select(F.col("blk").alias("ablk"), F.col("vecs").alias("avecs"))
+    b = blocks.select(F.col("blk").alias("bblk"), F.col("vecs").alias("bvecs"))
+    tiles = a.join(b, F.col("ablk") <= F.col("bblk"))
+
+    def tile_best(batches):
+        import numpy as np
+        import pandas as pd
+
+        id_mask = (1 << _KNN_ID_BITS) - 1
+
+        def unpack(cell):
+            ids = np.fromiter((v["vec_id"] for v in cell), dtype=np.int64)
+            m = np.stack([np.asarray(v["embedding"], dtype=np.float64) for v in cell])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        def side_best(ids_row, ids_col, g):
+            # g: rows × cols rounded cos; per row: max cos, min col id on ties
+            order = np.argsort(ids_col)
+            g = g[:, order]
+            ids_col = ids_col[order]
+            j = np.argmax(g, axis=1)  # first max → smallest neighbor id
+            best = g[np.arange(len(ids_row)), j]
+            c6 = (np.round(best * 1e6).astype(np.int64) + _COS_SHIFT)
+            ord_ = (c6 << _KNN_ID_BITS) | (id_mask - ids_col[j])
+            return pd.DataFrame({"vec_a": ids_row, "ord": ord_})
+
+        for chunk in batches:
+            for _, row in chunk.iterrows():
+                ids_a, ma = unpack(row["avecs"])
+                ids_b, mb = unpack(row["bvecs"])
+                g = np.round(ma @ mb.T, 6)
+                if int(row["ablk"]) == int(row["bblk"]):
+                    if len(ids_a) < 2:
+                        continue
+                    np.fill_diagonal(g, -np.inf)
+                    yield side_best(ids_a, ids_b, g)
+                else:
+                    yield side_best(ids_a, ids_b, g)
+                    yield side_best(ids_b, ids_a, g.T)
+
+    cand = tiles.mapInPandas(tile_best, "vec_a long, ord long")
+    best = cand.groupBy("vec_a").agg(F.max("ord").alias("ord"))
+    id_mask = (1 << _KNN_ID_BITS) - 1
+    return best.select(
+        "vec_a",
+        (F.lit(id_mask) - F.col("ord").bitwiseAND(F.lit(id_mask))).alias("vec_b"),
+        (
+            (F.shiftright("ord", _KNN_ID_BITS) - F.lit(_COS_SHIFT)).cast("double")
+            / 1e6
+        ).alias("cos"),
+    )
+
+
+# --- 1c. per-label centroids (ANN training / corpus stats) ------------------
+
+
+@query(
+    "label_centroids",
+    oracle=(
+        "SELECT label, list(round(m, 6) ORDER BY pos) AS centroid FROM ("
+        "  SELECT label, pos, avg(v) AS m FROM ("
+        "    SELECT label, unnest(range(len(embedding))) AS pos, "
+        "           unnest(list_transform(embedding, x -> x::DOUBLE)) AS v "
+        "    FROM embeddings"
+        "  ) GROUP BY label, pos"
+        ") GROUP BY label"
+    ),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise mean embedding per label — the centroid/update step of
+    any clustering or class-prototype pipeline, as two hash aggregates:
+    posexplode (codegen, no Python) → avg by (label, dim) → re-assemble
+    ordered arrays. Rounded to 6dp so partial-sum association order can't
+    flip the value hash. Scales as rows×dim exploded rows, all JVM-side."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    dims = exploded.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return dims.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 6))"
+        ).alias("centroid")
+    )
+
+
 # --- 2. n-gram (shingle) Jaccard near-dup ----------------------------------
 
 _SHINGLES_SQL = (
@@ -220,6 +343,59 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1])) END)"
     )
     return d.select("doc_id", F.explode(sh).alias("sh"))
+
+
+# --- 2a. benchmark contamination (decontamination for training data) --------
+
+CONTAMINATION_MOD = 97     # held-out set: doc_id % 97 == 0 (stand-in benchmark)
+CONTAMINATION_MIN = 0.3    # flag docs sharing ≥30% of their shingles
+
+
+@query(
+    "benchmark_contamination",
+    oracle=(
+        "WITH sh AS (" + _SHINGLES_SQL + "), "
+        f"bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAMINATION_MOD} = 0), "
+        f"corpus AS (SELECT * FROM sh WHERE doc_id % {CONTAMINATION_MOD} <> 0), "
+        "stats AS (SELECT doc_id, count(*) AS n_shingles, "
+        "  count(*) FILTER (WHERE sh IN (SELECT sh FROM bench)) AS n_overlap "
+        "  FROM corpus GROUP BY doc_id) "
+        "SELECT doc_id, n_shingles, n_overlap, "
+        "round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_ratio "
+        f"FROM stats WHERE CAST(n_overlap AS DOUBLE) / n_shingles >= {CONTAMINATION_MIN}"
+    ),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit — the decontamination pass every
+    training-data pipeline runs before training: flag corpus documents whose
+    shingle sets overlap a held-out benchmark set above a threshold.
+
+    Shape at 100 TB: the benchmark shingle dictionary is tiny (benchmarks are
+    thousands of docs, not billions) → broadcast semi-join against it, corpus
+    side stays a linear scan + one aggregate; no pairwise comparisons at all
+    (contrast ngram_jaccard_pairs, which needs doc↔doc pairs)."""
+    sh = doc_shingles(spark, sf_dir)
+    is_bench = F.col("doc_id") % CONTAMINATION_MOD == 0
+    bench_sh = sh.filter(is_bench).select("sh").distinct()
+    corpus = sh.filter(~is_bench)
+    flagged = corpus.join(broadcast(bench_sh), "sh", "left_semi")
+    stats = (
+        corpus.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .join(
+            flagged.groupBy("doc_id").agg(F.count("*").alias("n_overlap")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return stats.filter(ratio >= CONTAMINATION_MIN).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio, 6).alias("overlap_ratio"),
+    )
 
 
 DF_CAP = 20  # discriminative-shingle document-frequency cap
