@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sabd_deduplicator_spark.functions.hashing import content_hash
 from sabd_deduplicator_spark.operators.chunker import chunks_cte, doc_chunks
+from sabd_deduplicator_spark.operators.dedup import build_hash_links
 from sabd_deduplicator_spark.registry import query
 
 POINTER_WIDTH = 4  # safe here: documents chunk counts << 10^4; parameterized
@@ -104,10 +105,13 @@ def decode_tokens(
         "line",
         F.expr("substring(token, 2)").alias("chunk"),
     )
+    # try_cast, not cast: Catalyst may evaluate the projection before the
+    # marker filter (collapsed project/filter), and ANSI cast would then
+    # throw on literal rows' chunk text.
     pointers = tokens.filter(~is_literal).select(
         file_col,
         "line",
-        F.substring("token", 2, pointer_width).cast("long").alias("ptr"),
+        F.expr(f"try_cast(substring(token, 2, {pointer_width}) AS BIGINT)").alias("ptr"),
     )
     resolved = pointers.alias("p").join(
         literals.alias("l"),
@@ -168,6 +172,128 @@ def validate_tokens(
         .select(file_col, "line", "token", F.lit("dangling_pointer").alias("violation"))
     )
     return marker_bad.unionByName(pointer_bad).unionByName(dangling)
+
+
+# --- global (cross-file) encode ---------------------------------------------
+
+FILE_WIDTH = 6  # digits for the file id in a global pointer
+
+
+def encode_chunks_global(
+    chunks: DataFrame,
+    file_col: str = "doc_id",
+    algorithm: str = "md5",
+    file_width: int = FILE_WIDTH,
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """Cross-file dedup encode: the reference's index is GLOBAL (one
+    hash_links table across all files, hash.ex:50-54), so a repeat in any
+    file can point at the first occurrence corpus-wide:
+
+        '0' || chunk                                   first global occurrence
+        '1' || lpad(file, FW, '0') || lpad(line, W, '0')   repeat anywhere
+
+    Plan: ONE hash aggregate builds the global first-occurrence index
+    (build_hash_links — packed-long min keeps it a map-side-combining
+    HashAggregate), then one equi-join on hash stamps every chunk with its
+    hash's first (file, line). A hot hash (highly duplicated content) makes
+    the join skewed on that key — AQE skew-join splitting is the defense
+    (the aggregate side is immune: partial agg collapses map-side).
+    Overflow of either width raises (same contract as encode_chunks)."""
+    hashed = chunks.withColumn("hash", content_hash("chunk", algorithm))
+    links = build_hash_links(
+        chunks, file_col=file_col, algorithm=algorithm
+    ).select(
+        "hash", F.col(file_col).alias("_ff"), F.col("line").alias("_fl")
+    )
+    joined = hashed.join(links, "hash")
+    flimit, llimit = 10**file_width, 10**pointer_width
+
+    def digits(col: str, width: int, limit: int) -> F.Column:
+        return F.when(
+            F.col(col) >= F.lit(limit),
+            F.raise_error(
+                F.lit(
+                    f"global pointer overflow: {col} >= 10^{width}; "
+                    "re-encode with larger widths"
+                )
+            ).cast("string"),
+        ).otherwise(F.lpad(F.col(col).cast("string"), width, "0"))
+
+    token = F.when(
+        (F.col(file_col) == F.col("_ff")) & (F.col("line") == F.col("_fl")),
+        F.concat(F.lit(LITERAL), F.col("chunk")),
+    ).otherwise(
+        F.concat(
+            F.lit(POINTER),
+            digits("_ff", file_width, flimit),
+            digits("_fl", pointer_width, llimit),
+        )
+    )
+    return joined.select(file_col, "line", token.alias("token"))
+
+
+def decode_tokens_global(
+    tokens: DataFrame,
+    file_col: str = "doc_id",
+    file_width: int = FILE_WIDTH,
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """Inverse of encode_chunks_global: pointers resolve ACROSS files — one
+    equi-join on the (file, line) pair of the pointed-at literal."""
+    is_literal = F.col("token").startswith(LITERAL)
+    literals = tokens.filter(is_literal).select(
+        file_col, "line", F.expr("substring(token, 2)").alias("chunk")
+    )
+    # try_cast for the same projection-reorder reason as decode_tokens
+    pointers = tokens.filter(~is_literal).select(
+        file_col,
+        "line",
+        F.expr(f"try_cast(substring(token, 2, {file_width}) AS BIGINT)").alias("pf"),
+        F.expr(
+            f"try_cast(substring(token, {2 + file_width}, {pointer_width}) AS BIGINT)"
+        ).alias("pl"),
+    )
+    resolved = pointers.alias("p").join(
+        literals.alias("l"),
+        on=[
+            F.col("p.pf") == F.col(f"l.{file_col}"),
+            F.col("p.pl") == F.col("l.line"),
+        ],
+        how="inner",
+    ).select(
+        F.col(f"p.{file_col}").alias(file_col),
+        F.col("p.line").alias("line"),
+        F.col("l.chunk").alias("chunk"),
+    )
+    return literals.unionByName(resolved)
+
+
+ENCODE_GLOBAL_SQL = (
+    "SELECT doc_id, line, CASE WHEN rn = 1 THEN '0' || chunk "
+    f"ELSE '1' || lpad(CAST(f_doc AS VARCHAR), {FILE_WIDTH}, '0') "
+    f"|| lpad(CAST(f_line AS VARCHAR), {POINTER_WIDTH}, '0') END AS token "
+    "FROM (SELECT doc_id, line, chunk, "
+    "ROW_NUMBER() OVER w AS rn, "
+    "FIRST_VALUE(doc_id) OVER w AS f_doc, "
+    "FIRST_VALUE(line) OVER w AS f_line "
+    "FROM (" + chunks_cte() + ") "
+    "WINDOW w AS (PARTITION BY md5(chunk) ORDER BY doc_id, line))"
+)
+
+
+@query("dedup_encode_global", oracle=ENCODE_GLOBAL_SQL)
+def dedup_encode_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encode_chunks_global(doc_chunks(spark, sf_dir))
+
+
+@query(
+    "roundtrip_recovery_global",
+    oracle=f"SELECT doc_id, line, chunk FROM ({chunks_cte()}) c",
+)
+def roundtrip_recovery_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = encode_chunks_global(doc_chunks(spark, sf_dir))
+    return decode_tokens_global(tokens)
 
 
 ENCODE_SQL = (

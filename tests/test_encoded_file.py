@@ -55,6 +55,31 @@ def test_encoded_string_is_ordered(spark):
     assert by_id[1] == "0AAAA" + "0BBBB" + "10000"
 
 
+def test_global_encode_points_across_files(spark):
+    """Cross-file dedup: a file whose every chunk already occurred in an
+    earlier file encodes to pointers ONLY, and decode resolves them across
+    the file boundary byte-exactly."""
+    from sabd_deduplicator_spark.operators.encode import (
+        decode_tokens_global,
+        encode_chunks_global,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "AAAABBBB"), (1, "BBBBAAAA")], "doc_id long, text string"
+    )
+    chunks = chunk_fixed(docs, size=4)
+    tokens = encode_chunks_global(chunks)
+    assert tokens.filter("doc_id = 1 AND token LIKE '0%'").count() == 0
+    by_tok = {
+        (r.doc_id, r.line): r.token for r in tokens.collect()
+    }
+    assert by_tok[(1, 0)] == "1" + "000000" + "0001"  # BBBB → (file 0, line 1)
+    assert by_tok[(1, 1)] == "1" + "000000" + "0000"  # AAAA → (file 0, line 0)
+    got = {(r.doc_id, r.line): r.chunk for r in decode_tokens_global(tokens).collect()}
+    want = {(r.doc_id, r.line): r.chunk for r in chunks.collect()}
+    assert got == want
+
+
 def test_frames_equal_unordered_detects_diff(spark):
     a = spark.createDataFrame([(1, "x"), (1, "x")], "id long, v string")
     b = spark.createDataFrame([(1, "x")], "id long, v string")
