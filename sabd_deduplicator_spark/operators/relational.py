@@ -1449,3 +1449,192 @@ def string_funcs2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
         F.trim(F.rpad("c_mktsegment", 12, " ")).alias("seg_roundtrip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style joins/aggregations #2 (Q5/Q14/Q18/Q19 shapes on available cols)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=(
+        # Q5 shape: revenue from lineitems where the supplier and the
+        # ordering customer share a nation, within one region and year.
+        "SELECT n_name, " + f"CAST(sum({_DISC_PRICE}) AS DOUBLE)" + " AS revenue "
+        "FROM customer c, orders o, lineitem l, supplier s, nation n, region r "
+        "WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey "
+        "AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+        "AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey "
+        "AND r.r_name = 'ASIA' "
+        "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
+    ),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style local-supplier volume. Join strategy for 100 TB: every
+    dimension chain (region→nation→supplier, customer) broadcasts onto the
+    facts, so the ONLY shuffle is the lineitem⋈orders fact-fact join on
+    l_orderkey; the same-nation predicate rides that join as a residual
+    equi-condition instead of a second shuffle."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(broadcast(table(spark, sf_dir, "customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    l = table(spark, sf_dir, "lineitem").join(
+        broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return (
+        l.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(ext * disc1).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=(
+        # Q14 shape: promo revenue share over a ship-date window. The CASE
+        # rides INSIDE the price factor so both branches stay exact decimal.
+        "SELECT CAST(100.00 * sum(CAST(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice ELSE 0 END AS DECIMAL(12,2)) "
+        "* CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) "
+        f"/ CAST(sum({_DISC_PRICE}) AS DOUBLE) AS promo_share "
+        "FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey "
+        "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l.l_shipdate < TIMESTAMP '1996-04-01'"
+    ),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promo revenue share: part broadcasts onto the
+    ship-date-pruned lineitem scan (filter reaches the parquet scan), one
+    hash aggregate, zero fact shuffles."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo_price = F.when(
+        F.col("p_type") == "PROMO", F.col("l_extendedprice")
+    ).otherwise(F.lit(0)).cast("decimal(12,2)")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return j.agg(
+        (
+            (F.lit(100.00) * F.sum(promo_price * disc1).cast("double"))
+            / F.sum(ext * disc1).cast("double")
+        ).alias("promo_share")
+    )
+
+
+@query(
+    "q18_large_quantity_orders",
+    oracle=(
+        # Q18 shape: orders whose total line quantity exceeds a threshold,
+        # with their customer. HAVING on the exact decimal sum.
+        "SELECT c_name, c_custkey, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice, total_qty "
+        "FROM (SELECT l_orderkey, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty "
+        "FROM lineitem GROUP BY l_orderkey "
+        "HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 200) big "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey"
+    ),
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume orders: the quantity rollup shuffles
+    lineitem once on l_orderkey, the HAVING prunes it to a sliver, and that
+    sliver joins orders (shuffle, but both sides now small-keyed) and a
+    broadcast customer dimension."""
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q19_band_or_revenue",
+    oracle=(
+        # Q19 shape: disjunction of brand/size/quantity bands — the classic
+        # OR-of-ANDs predicate that must still evaluate as one pass.
+        f"SELECT CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue, count(*) AS n_lines "
+        "FROM lineitem l, part p WHERE l.l_partkey = p.p_partkey AND ("
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"
+    ),
+)
+def q19_band_or_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style discounted revenue under an OR of band predicates.
+    The part side prunes to the three brands BEFORE broadcasting (derived
+    from the disjunction), so the broadcast build is a sliver and the
+    residual OR evaluates during the join — single scan of each side."""
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    l = table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return (
+        l.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bands)
+        .agg(
+            F.sum(ext * disc1).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

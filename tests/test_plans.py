@@ -106,6 +106,9 @@ def test_aggregates_stay_hash_based(name, spark, sf_dir):
         ("chunk_scan_fixed", 0),
         ("text_fingerprint", 0),
         ("vector_norms", 0),
+        ("q14_promo_revenue", 1),   # part broadcasts; only the final agg shuffles
+        ("q19_band_or_revenue", 1),  # pruned part broadcasts; only the final agg
+        ("q5_local_supplier_volume", 3),  # fact-fact join (2) + group agg (1)
     ],
 )
 def test_shuffle_budget(name, max_exchanges, spark, sf_dir):
