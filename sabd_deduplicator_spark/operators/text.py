@@ -9,7 +9,7 @@ followed by standard hash aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sabd_deduplicator_spark.catalog import table
@@ -354,4 +354,76 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- corpus vocabulary heavy hitters + length quantiles ---------------------
+
+TOP_TOKENS_K = 50
+
+
+@query(
+    "top_tokens_corpus",
+    oracle=(
+        "SELECT token, n, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT token, n, RANK() OVER (ORDER BY n DESC, token) AS rnk FROM ("
+        "    SELECT token, count(*) AS n FROM ("
+        "      SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        "    ) GROUP BY token)"
+        f") WHERE rnk <= {TOP_TOKENS_K}"
+    ),
+)
+def top_tokens_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (top-{K} tokens by frequency) — the
+    vocabulary/stopword profile every text pipeline derives before tokenizer
+    training. Explode (codegen) → one hash aggregate on token → global top-k
+    via the k-th-value prefilter (TakeOrderedAndProject + broadcast filter),
+    so the rank window only ever sees ~K survivors — no single-partition
+    funnel over the vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    kth = (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(TOP_TOKENS_K)
+        .agg(F.min("n").alias("kth"))
+    )
+    survivors = counts.join(F.broadcast(kth), counts.n >= kth.kth).select("token", "n")
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        survivors.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TOP_TOKENS_K)
+        .select("token", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "doc_length_quantiles_by_lang",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, "
+        "round(quantile_cont(n_chars, 0.25), 6) AS p25, "
+        "round(quantile_cont(n_chars, 0.5), 6) AS p50, "
+        "round(quantile_cont(n_chars, 0.75), 6) AS p75, "
+        "round(quantile_cont(n_chars, 0.95), 6) AS p95 "
+        "FROM documents GROUP BY lang"
+    ),
+)
+def doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles — the length-filter calibration
+    stats of a corpus curation pass. Spark `percentile` and DuckDB
+    `quantile_cont` both interpolate linearly on exact sorted values, so the
+    result is oracle-hashable (rounded 6dp); at 100 TB swap in
+    percentile_approx (mergeable sketch) and gate accuracy as in
+    tests/test_validation_and_bounds.py::test_approx_percentile_accuracy."""
+    d = table(spark, sf_dir, "documents")
+    qs = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.95))")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(qs[0], 6).alias("p25"),
+        F.round(qs[1], 6).alias("p50"),
+        F.round(qs[2], 6).alias("p75"),
+        F.round(qs[3], 6).alias("p95"),
     )
