@@ -193,3 +193,58 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6)
         .alias("total_value"),
     )
+
+
+SESSION_GAP_SEC = 600
+
+
+@query(
+    "events_sessionize_batch",
+    oracle=(
+        # gap-break numbering: cumulative sum of breaks = session ordinal.
+        # Gaps compared in MICROSECONDS (exact at the data's resolution) —
+        # date_diff('microsecond') boundary-counting equals the true diff.
+        "WITH numbered AS ("
+        "  SELECT user_id, ts, value, sum(CASE WHEN gap_break THEN 1 ELSE 0 END) "
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "  FROM (SELECT user_id, event_id, ts, value, "
+        "        coalesce(date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) "
+        f"          > {SESSION_GAP_SEC} * 1000000, FALSE) AS gap_break "
+        "        FROM events)) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+        "count(*) AS n_events, " + dsum_sql("value") + " AS total_value "
+        "FROM numbered GROUP BY user_id, session_id"
+    ),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the window-native twin of the streaming
+    applyInPandasWithState sessionizer (streaming/sessionize.py), covering
+    ALL sessions including each user's final one (which the streaming drain
+    holds in state). Two window passes over one (user_id)-partitioned sort:
+    lag → gap flag → running sum numbers the sessions; then one hash
+    aggregate per (user, session). This is the classic gaps-and-islands
+    plan: no self-joins, no explode, scales as one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    numbered = (
+        e.withColumn(
+            "gap_break",
+            F.coalesce(gap_us > SESSION_GAP_SEC * 1_000_000, F.lit(False)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum(F.when(F.col("gap_break"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -138,3 +138,35 @@ def test_roundtrip_property(spark_global, payloads, size):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    payloads=st.lists(
+        st.text(alphabet="abcXYZ019 ", min_size=0, max_size=200), min_size=1, max_size=8
+    ),
+    size=st.sampled_from([3, 8, 16]),
+)
+def test_global_roundtrip_property(spark_global, payloads, size):
+    """Property: the CROSS-FILE encode→decode is also the identity, and its
+    literal count never exceeds the per-file encoder's (global dedup can only
+    collapse more)."""
+    from sabd_deduplicator_spark.operators.encode import (
+        decode_tokens_global,
+        encode_chunks_global,
+    )
+
+    docs = make_docs(spark_global, payloads)
+    chunks = chunk_fixed(docs, size=size)
+    tokens_g = encode_chunks_global(chunks)
+    rec = decode_tokens_global(tokens_g)
+    a = sorted((r.doc_id, r.line, r.chunk) for r in chunks.collect())
+    b = sorted((r.doc_id, r.line, r.chunk) for r in rec.collect())
+    assert a == b
+    lit_g = tokens_g.filter(F.col("token").startswith("0")).count()
+    lit_l = (
+        encode_chunks(chunks, file_col="doc_id")
+        .filter(F.col("token").startswith("0"))
+        .count()
+    )
+    assert lit_g <= lit_l
