@@ -1638,3 +1638,36 @@ def q19_band_or_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "order_price_outliers",
+    oracle=(
+        # per-group p99 via one aggregate, broadcast back as the filter bound
+        "WITH p AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.99) AS p99 "
+        "FROM orders GROUP BY o_orderpriority) "
+        "SELECT o_orderkey, o.o_orderpriority, o_totalprice, round(p99, 6) AS p99 "
+        "FROM orders o JOIN p USING (o_orderpriority) WHERE o_totalprice > p99"
+    ),
+)
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile outlier filter (the data-quality trim every
+    curation pipeline applies): ONE aggregate computes each group's exact
+    p99, the tiny bounds table broadcasts back onto the scan, and the filter
+    runs during the join — the fact table never shuffles. At 100 TB swap the
+    exact percentile for percentile_approx (mergeable sketch) with the
+    accuracy gate pattern from tests/test_validation_and_bounds.py."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99")
+    )
+    return (
+        o.join(broadcast(bounds), "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("p99"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round("p99", 6).alias("p99"),
+        )
+    )

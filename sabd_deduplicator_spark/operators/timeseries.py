@@ -248,3 +248,56 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_SCD2_OPEN = "9999-12-31 00:00:00.000000"
+
+
+@query(
+    "scd2_user_event_type",
+    oracle=(
+        # Slowly-changing-dimension type 2: collapse consecutive equal values
+        # into validity intervals; the current interval stays open-ended.
+        "WITH changes AS ("
+        "  SELECT user_id, event_type, ts, event_id, "
+        "    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+        "  FROM events), "
+        "starts AS (SELECT user_id, event_type, ts, event_id FROM changes "
+        "  WHERE prev_type IS NULL OR prev_type <> event_type) "
+        "SELECT user_id, event_type, "
+        f"strftime(ts, '{_TS_FMT_SQL}') AS valid_from, "
+        "coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+        f"'{_TS_FMT_SQL}'), '{_SCD2_OPEN}') AS valid_to "
+        "FROM starts"
+    ),
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build from an event stream: each user's event_type
+    becomes validity intervals [valid_from, valid_to), consecutive repeats
+    collapsed, the live row open-ended — the standard warehouse dimension-
+    history op. Two window passes over ONE (user_id)-partitioned sort
+    (change detection via lag, interval close via lead): Catalyst reuses the
+    sort, so this is a single shuffle however long the history."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w2), _TS_FMT_SPARK),
+            F.lit(_SCD2_OPEN),
+        ).alias("valid_to"),
+    )
