@@ -42,3 +42,37 @@ def test_hash_links_under_pathological_skew(spark):
     assert (hot_row.file_id, hot_row.line) == (0, 1)
     # partial agg keeps this fast even with one key holding 95% of rows
     assert dt < 60, f"skewed aggregation took {dt:.1f}s"
+
+
+def test_global_encode_under_skew(spark):
+    """encode_chunks_global joins every chunk to its hash's first occurrence
+    — under a 95%-hot hash that join is maximally skewed on one key. AQE
+    skew-join splitting must keep it correct and bounded: exactly one
+    literal per distinct hash, every other chunk a pointer at the hot
+    first-occurrence."""
+    import time
+
+    from sabd_deduplicator_spark.operators.encode import encode_chunks_global
+
+    n = 500_000
+    chunks = spark.range(n).select(
+        (F.col("id") % 50).alias("doc_id"),
+        (F.col("id") / 50).cast("long").alias("line"),
+        F.when(F.col("id") % 20 != 0, F.lit("DUPLICATE_64B_BLOCK"))
+        .otherwise(F.concat(F.lit("unique_"), F.col("id").cast("string")))
+        .alias("chunk"),
+    )
+    t0 = time.time()
+    tokens = encode_chunks_global(chunks, pointer_width=6)
+    counts = tokens.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("token").startswith("0"), 1).otherwise(0)).alias("lits"),
+    ).first()
+    dt = time.time() - t0
+    n_hashes = 1 + n // 20
+    assert counts.total == n
+    assert counts.lits == n_hashes  # one literal per distinct hash, global
+    # the hot hash's pointer targets its true first occurrence (doc 0 line 1)
+    hot_ptr = tokens.filter(F.col("token") == "1" + "000000" + "000001")
+    assert hot_ptr.count() == int(n * 0.95) - 1
+    assert dt < 90, f"skewed global encode took {dt:.1f}s"

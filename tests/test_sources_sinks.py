@@ -83,11 +83,19 @@ def test_parquet_sinks_and_append_if_absent(spark, tmp_path):
     assert final.count() == 3  # h1, h2 (original), h3 — h2 dup ignored
     assert final.select("hash").distinct().count() == 3
 
-    # partitioned write → partition pruning applies
+    # partitioned write → partition pruning applies, AND the plan proves it:
+    # the predicate must appear as a PartitionFilter (directory-level skip),
+    # not a data Filter over all rows
     part_path = str(tmp_path / "parts")
     overwrite_parquet(final.withColumn("p", F.col("hash")), part_path, partition_by=["p"])
     pruned = spark.read.parquet(part_path).filter(F.col("p") == "h3")
     assert pruned.count() == 1
+    from sabd_deduplicator_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    i = plan.index("PartitionFilters")
+    assert "h3" in plan[i : i + 200], "partition predicate did not reach the scan"
 
 
 def test_media_feature_extract_shapes(spark, sf_dir):
