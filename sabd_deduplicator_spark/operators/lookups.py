@@ -148,3 +148,54 @@ def files_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("md5").alias("algorithm"),
         "n_chars",
     )
+
+
+_PROFILE_COLS = [
+    # (column, min/max rendering that is string-identical in both engines)
+    ("o_orderkey", "CAST({c} AS VARCHAR)", "string"),
+    ("o_custkey", "CAST({c} AS VARCHAR)", "string"),
+    ("o_orderstatus", "{c}", "string"),
+    ("o_orderpriority", "{c}", "string"),
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)", "string"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, render, _ in _PROFILE_COLS:
+        r_min, r_max = render.format(c=f"min({c})"), render.format(c=f"max({c})")
+        parts.append(
+            f"SELECT '{c}' AS col, "
+            f"count(*) FILTER ({c} IS NULL) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{r_min} AS min_v, {r_max} AS max_v FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("table_profile_orders", oracle=_profile_oracle())
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling catalog op (per-column null count, distinct count,
+    min/max) — the stats pass behind data-quality dashboards and CBO-style
+    size estimates. ONE scan + one aggregate row computes every column's
+    stats (the oracle's UNION-of-scans shape is the naive plan this
+    replaces); stack() unpivots the row to (col, stats) long form. min/max
+    render through engine-identical string forms (decimal for money)."""
+    o = catalog.table(spark, sf_dir, "orders")
+    aggs = []
+    for c, render, _ in _PROFILE_COLS:
+        srender = render.replace("VARCHAR", "STRING")  # Spark spells it STRING
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.expr(srender.format(c=f"min({c})")).alias(f"{c}__min"),
+            F.expr(srender.format(c=f"max({c})")).alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _, _ in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct, min_v, max_v)"
+    )

@@ -174,3 +174,30 @@ def streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("total_value").cast("decimal(18,2)"), 2).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "streaming_refcount_complete",
+    oracle="SELECT md5(text) AS hash, count(*) AS refs_num FROM documents GROUP BY 1",
+)
+def streaming_refcount_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reference counting, complete mode: the drained state is the
+    full refcount table — the streaming twin of dedup_refcount (the
+    reference's hash.ex:81-89 fold as an always-on pipeline). Cross-batch
+    counts genuinely accumulate in the state store because the stage splits
+    the corpus into 2 micro-batches (complete-mode state commits cost ~a
+    shuffle-partition-count of store writes per batch — two batches prove
+    cross-batch accumulation at half the commit bill of four)."""
+    staged = _stage(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("text"), n_files=2
+    )
+    src = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = (
+        src.groupBy(F.md5("text").alias("hash"))
+        .agg(F.count("*").alias("refs_num"))
+    )
+    return _drain(agg, "complete")
