@@ -52,6 +52,7 @@ def load_all_queries() -> None:
         similarity,
         text,
         timeseries,
+        tpch_extra,
         udx,
     )
     from sabd_deduplicator_spark.streaming import registered  # noqa: F401
