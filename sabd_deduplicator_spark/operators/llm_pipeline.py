@@ -1,0 +1,292 @@
+"""LLM-training-data pipeline operators (task extension beyond the
+reference's chunk dedup): repetition-based quality filters, span-level corpus
+dedup, deterministic train/val/test splitting, sequence packing, and weighted
+source mixture sampling.
+
+These are the operations a 100 TB pre-training corpus build runs after the
+exact/near dedup passes (operators/dedup.py, similarity.py):
+
+- repetition filters follow the Gopher-style "fraction of token mass in
+  repeated n-grams" signals (Rae et al. 2021, §A1.1) — per-row expressions +
+  one hash aggregate, no Python;
+- span dedup is the corpus-level generalization of the reference's
+  chunk-level first-occurrence rule (lib/deduplicator.ex:84-119): fixed
+  token spans instead of fixed byte chunks, window over the span hash
+  instead of a Postgres probe, and per-doc reassembly of the surviving
+  spans;
+- splitting/mixing hash doc ids into 256 deterministic buckets (two md5 hex
+  digits) so the assignment is stable across runs, engines, and cluster
+  sizes — never `rand()`, which is neither reproducible nor oracle-checkable.
+
+Scale posture: everything is narrow transforms + hash aggregates except the
+span-dedup window (shuffle on span hash — same shape as dedup_hash_links) and
+the packing prefix-sum (windowed per language stream; at 100 TB replace with
+the classic two-phase prefix sum: per-partition subtotals, broadcast offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.operators.text import with_tokens
+from sabd_deduplicator_spark.registry import query
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_bucket(col: str) -> F.Column:
+    """0..255 bucket from the first two md5 hex digits of a string column —
+    portable across Spark and DuckDB (both emit lowercase hex md5)."""
+    d1 = F.expr(f"instr('{_HEX}', substring(md5(CAST({col} AS STRING)), 1, 1))")
+    d2 = F.expr(f"instr('{_HEX}', substring(md5(CAST({col} AS STRING)), 2, 1))")
+    return ((d1 - 1) * 16 + (d2 - 1)).cast("int")
+
+
+def _hex_bucket_sql(col: str) -> str:
+    return (
+        f"CAST((instr('{_HEX}', substr(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1) * 16 "
+        f"+ (instr('{_HEX}', substr(md5(CAST({col} AS VARCHAR)), 2, 1)) - 1) AS INT)"
+    )
+
+
+_BIGRAMS_SQL = (
+    "list_transform(range(1, len(string_split(text, ' '))), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])"
+)
+
+
+@query(
+    "gopher_repetition_filters",
+    oracle=(
+        "SELECT doc_id, n_tokens, "
+        "2 * max(c) / n_tokens AS top_bigram_frac, "
+        "2 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) / n_tokens AS dup_bigram_frac "
+        "FROM ("
+        "  SELECT doc_id, n_tokens, bigram, CAST(count(*) AS BIGINT) AS c FROM ("
+        "    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        f"    unnest({_BIGRAMS_SQL}) AS bigram "
+        "    FROM documents) "
+        "  GROUP BY doc_id, n_tokens, bigram) "
+        "GROUP BY doc_id, n_tokens"
+    ),
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the token-mass fraction
+    held by the single most frequent bigram, and by all bigrams occurring
+    more than once. Bigram construction is a codegen'd array expression
+    (guarded: `sequence(0,-1)` is DESCENDING in Spark, so single-token docs
+    short-circuit to an empty array); then explode → one hash aggregate per
+    (doc, bigram) → one per doc. Both divisions are single long/long → double
+    ops, bit-identical across engines."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    bigrams = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(tokens) - 2), "
+        "i -> concat(tokens[i], ' ', tokens[i + 1])) END"
+    )
+    ex = d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    cnt = ex.groupBy("doc_id", "n_tokens", "bigram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id", "n_tokens").agg(
+        (F.lit(2) * F.max("c") / F.col("n_tokens")).alias("top_bigram_frac"),
+        (
+            F.lit(2)
+            * F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.col("n_tokens")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "span_dedup_corpus",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, string_split(text, ' ') AS t, "
+        "  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nsp "
+        "  FROM documents), "
+        "spans AS ("
+        "  SELECT doc_id, unnest(range(0, nsp)) AS span_idx, "
+        "  unnest(list_transform(range(0, nsp), "
+        "    i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS span "
+        "  FROM toks), "
+        "ranked AS ("
+        "  SELECT doc_id, span_idx, span, row_number() OVER ("
+        "    PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM spans) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' "
+        "  ORDER BY span_idx), '') AS kept_text "
+        "FROM ranked GROUP BY doc_id"
+    ),
+)
+def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span-level dedup (RefinedWeb-style substring dedup, and
+    the corpus generalization of the reference's chunk first-occurrence rule,
+    lib/deduplicator.ex:84-119): split every document into fixed 8-token
+    spans, keep only the globally FIRST occurrence of each distinct span
+    (order = (doc_id, span_idx), exactly the reference's smallest-`line`
+    rule), and reassemble each document from its surviving spans.
+
+    Two shuffles, both linear: the first-occurrence window partitions by
+    md5(span) (same shape as dedup_hash_links), the reassembly groups by
+    doc_id; collect_list is order-safe because the struct array is sorted by
+    span_idx before joining."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    ex = (
+        d.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+        .select("doc_id", F.col("span_idx").cast("long").alias("span_idx"), "span")
+    )
+    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+@query(
+    "corpus_train_split",
+    oracle=(
+        "SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) "
+        "AS n_tokens FROM ("
+        "  SELECT lang, text, CASE "
+        f"  WHEN {_hex_bucket_sql('doc_id')} < 204 THEN 'train' "
+        f"  WHEN {_hex_bucket_sql('doc_id')} < 230 THEN 'val' "
+        "  ELSE 'test' END AS split "
+        "  FROM documents) "
+        "GROUP BY split, lang"
+    ),
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split: bucket = first two md5
+    hex digits of doc_id (0..255), train < 204, val < 230, else test. The
+    assignment is a pure projection — stable under repartitioning, cluster
+    size, and re-runs, unlike `rand(seed)` whose draw depends on partition
+    layout. One hash aggregate for the per-split per-lang profile."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    b = _hex_bucket("doc_id")
+    split = (
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    ).alias("split")
+    return (
+        d.select(split, "lang", F.size("tokens").cast("long").alias("n_tok"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=(
+        "SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc, "
+        "CAST(max(doc_id) AS BIGINT) AS last_doc FROM ("
+        "  SELECT lang, doc_id, n_tok, "
+        "  CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "    ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS BIGINT) AS bin_id "
+        "  FROM (SELECT lang, doc_id, "
+        "    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok "
+        "    FROM documents)) "
+        "GROUP BY lang, bin_id"
+    ),
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: concatenate each language
+    stream in doc_id order and cut it into 512-token bins; a document's bin
+    is the bin of its first token (floor(prefix_sum_before / 512)). The
+    prefix sum is a running-total window per language stream — bounded
+    parallelism by design (a prefix sum is sequential per stream); at 100 TB
+    use the two-phase form: per-partition subtotals → broadcast cumulative
+    offsets → local rescan. Output is the per-bin packing profile."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    base = d.select(
+        "lang", "doc_id", F.size("tokens").cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = base.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512)).cast("long"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_MIX_RATES_SQL = (
+    "CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 128 "
+    "WHEN 'src2' THEN 64 ELSE 32 END"
+)
+
+
+@query(
+    "corpus_source_mixture",
+    oracle=(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "
+        f"CAST(sum(CASE WHEN {_hex_bucket_sql('doc_id')} < {_MIX_RATES_SQL} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, "
+        f"CAST(sum(CASE WHEN {_hex_bucket_sql('doc_id')} < {_MIX_RATES_SQL} "
+        "THEN CAST(len(string_split(text, ' ')) AS BIGINT) ELSE 0 END) AS BIGINT) "
+        "AS sampled_tokens "
+        "FROM documents GROUP BY source"
+    ),
+)
+def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: deterministic per-source downsampling (src0
+    keeps 100%, src1 50%, src2 25%, everything else 12.5%) via the same md5
+    hex bucket as the train split — the standard "data mixture" stage that
+    reweights sources before training. Sampling is a pure projection (no
+    rand()); the profile is one hash aggregate per source."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    b = _hex_bucket("doc_id")
+    rate = (
+        F.when(F.col("source") == "src0", 256)
+        .when(F.col("source") == "src1", 128)
+        .when(F.col("source") == "src2", 64)
+        .otherwise(32)
+    )
+    keep = b < rate
+    return (
+        d.select(
+            "source",
+            keep.alias("keep"),
+            F.size("tokens").cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+                "sampled_tokens"
+            ),
+        )
+    )

@@ -46,6 +46,7 @@ def load_all_queries() -> None:
         dedup,
         dedup_clusters,
         encode,
+        llm_pipeline,
         lookups,
         multimodal,
         relational,
