@@ -162,6 +162,43 @@ def test_similarity_topk_has_no_global_window_over_corpus(spark, sf_dir):
         ], f"{name}: window not fed by the kth-value prefilter join"
 
 
+def test_tpch_extra_shapes(spark, sf_dir):
+    """Scale gates for the Q4-Q22 family: EXISTS/NOT EXISTS plan as semi/anti
+    equi-joins (never nested loops over facts), dimension chains broadcast,
+    and Q10's global top-20 window is fed by the k-th-value prefilter."""
+    p4 = formatted_plan(q("q4_order_priority_exists", spark, sf_dir))
+    assert "LeftSemi" in p4 and "BroadcastNestedLoopJoin" not in p4
+    p22 = formatted_plan(q("q22_global_sales_opportunity", spark, sf_dir))
+    assert "LeftAnti" in p22
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit"):
+        plan = formatted_plan(q(name, spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    p10 = formatted_plan(q("q10_returned_items", spark, sf_dir))
+    w_pos = p10.index("Window")
+    assert "Join" in p10[w_pos:], "q10 window not fed by the prefilter join"
+    # Q6 is scan-bound: every predicate must reach the parquet reader
+    pf = pushed_filters(q("q6_forecast_revenue", spark, sf_dir))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_llm_pipeline_shapes(spark, sf_dir):
+    """Corpus-build ops stay JVM-side and linear: pure-projection bucketing
+    (split/mixture: zero or one exchange for the final agg), span dedup is
+    window-over-hash + one reassembly group-by (no joins), and nothing in the
+    module evaluates Python."""
+    for name in ("corpus_train_split", "corpus_source_mixture"):
+        df = q(name, spark, sf_dir)
+        assert count_exchanges(df) <= 1, name
+        assert not has_row_python_udf(df), name
+    span = formatted_plan(q("span_dedup_corpus", spark, sf_dir))
+    assert "Join" not in span
+    assert "Window" in span
+    gopher = q("gopher_repetition_filters", spark, sf_dir)
+    assert not has_row_python_udf(gopher)
+    assert "SortAggregate" not in formatted_plan(gopher)
+
+
 def test_q21_chained_subqueries_stay_equi_joins(spark, sf_dir):
     """Q21's EXISTS/NOT EXISTS with a != residual must plan as equi hash/
     sort-merge joins on l_orderkey (residual as Join condition), never a
