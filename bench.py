@@ -55,6 +55,10 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt
+        # Untimed GC between queries: without it, collection debt from earlier
+        # queries lands as multi-second pauses inside later timed regions
+        # (measured: the same query is 0.6 s isolated, 7 s mid-run).
+        spark.sparkContext._jvm.System.gc()
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail = {

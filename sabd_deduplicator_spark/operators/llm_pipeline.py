@@ -242,6 +242,153 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_build_funnel",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, lang, string_split(text, ' ') AS t, "
+        "  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
+        "  CAST(len(list_filter(string_split(text, ' '), "
+        "    x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', "
+        "    'on', 'for', 'with'], x))) AS BIGINT) AS n_stop, "
+        "  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nsp "
+        "  FROM documents), "
+        "spans AS ("
+        "  SELECT doc_id, lang, n_tok, n_stop, "
+        "  unnest(range(0, nsp)) AS span_idx, "
+        "  unnest(list_transform(range(0, nsp), "
+        "    i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS span "
+        "  FROM toks), "
+        "ranked AS ("
+        "  SELECT doc_id, lang, n_tok, n_stop, row_number() OVER ("
+        "    PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM spans), "
+        "per_doc AS ("
+        "  SELECT doc_id, lang, n_tok, n_stop, count(*) AS n_spans, "
+        "  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept "
+        "  FROM ranked GROUP BY doc_id, lang, n_tok, n_stop), "
+        "flags AS ("
+        "  SELECT lang, n_tok, "
+        "  (2 * n_kept >= n_spans) AS near_ok, "
+        "  (n_tok BETWEEN 20 AND 90) AS len_ok, "
+        "  (20 * n_stop >= n_tok) AS stop_ok FROM per_doc) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN near_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near, "
+        "CAST(sum(CASE WHEN near_ok AND len_ok THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_after_len, "
+        "CAST(sum(CASE WHEN near_ok AND len_ok AND stop_ok THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_final, "
+        "CAST(sum(CASE WHEN near_ok AND len_ok AND stop_ok THEN n_tok ELSE 0 END) "
+        "AS BIGINT) AS tokens_final "
+        "FROM flags GROUP BY lang"
+    ),
+)
+def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build survivorship funnel — the one-query summary of a full
+    pre-training data pipeline: per language, how many documents survive
+    (1) near-dup removal (keep docs retaining >= 50% of their 8-token spans
+    after corpus-wide span dedup), (2) the token-length gate [20, 90], and
+    (3) the stopword-ratio floor (>= 5%, integer arithmetic: 20*n_stop >=
+    n_tok — no float compare), plus the final token yield.
+
+    All gate flags are computed in one pass over the exploded spans (the
+    span-dedup window) followed by two hash aggregates; filters compose as
+    conditional sums so every stage of the funnel is visible, not just the
+    survivors."""
+    from sabd_deduplicator_spark.operators.text import STOPWORDS
+
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = with_tokens(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.expr(
+            f"CAST(size(filter(tokens, x -> array_contains({stop_arr}, x))) AS LONG)"
+        ).alias("n_stop"),
+    )
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    ex = d.select(
+        "doc_id", "lang", "n_tok", "n_stop",
+        F.posexplode(spans).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy("doc_id", "lang", "n_tok", "n_stop").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    )
+    near_ok = 2 * F.col("n_kept") >= F.col("n_spans")
+    len_ok = F.col("n_tok").between(20, 90)
+    stop_ok = 20 * F.col("n_stop") >= F.col("n_tok")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(near_ok, 1).otherwise(0)).alias("n_after_near"),
+        F.sum(F.when(near_ok & len_ok, 1).otherwise(0)).alias("n_after_len"),
+        F.sum(F.when(near_ok & len_ok & stop_ok, 1).otherwise(0)).alias("n_final"),
+        F.sum(F.when(near_ok & len_ok & stop_ok, F.col("n_tok")).otherwise(0)).alias(
+            "tokens_final"
+        ),
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=(
+        "WITH s AS ("
+        "  SELECT max(list_aggregate(list_transform(embedding, x -> "
+        "  abs(CAST(x AS DOUBLE))), 'max')) AS scale FROM embeddings) "
+        "SELECT vec_id, "
+        "round(list_aggregate(list_transform(embedding, x -> "
+        "  abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / scale) "
+        "  * scale / 127)), 'max'), 9) AS max_abs_err, "
+        "round(list_aggregate(list_transform(embedding, x -> "
+        "  (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) * 127 / scale) "
+        "  * scale / 127) ^ 2), 'sum') / len(embedding), 12) AS mse "
+        "FROM embeddings, s"
+    ),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus — the memory-
+    footprint step before an ANN index ships to serving (float32 → int8 is
+    4× smaller; at 100 TB of embeddings that is the difference between
+    in-memory and not). The global scale (corpus max |x|) is a one-row
+    broadcast; quantize/dequantize/error are per-element array expressions
+    (left-to-right folds in BOTH engines, so the double sums are
+    bit-identical), reported as per-vector max-abs-error and MSE."""
+    e = table(spark, sf_dir, "embeddings")
+    scale = e.agg(
+        F.max(
+            F.expr(
+                "aggregate(embedding, CAST(0 AS DOUBLE), "
+                "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+            )
+        ).alias("scale")
+    )
+    err = (
+        "transform(embedding, x -> abs(CAST(x AS DOUBLE) "
+        "- round(CAST(x AS DOUBLE) * 127 / scale) * scale / 127))"
+    )
+    sq = (
+        "transform(embedding, x -> pow(CAST(x AS DOUBLE) "
+        "- round(CAST(x AS DOUBLE) * 127 / scale) * scale / 127, 2))"
+    )
+    return e.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        F.round(
+            F.expr(f"aggregate({err}, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"),
+            9,
+        ).alias("max_abs_err"),
+        F.round(
+            F.expr(f"aggregate({sq}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+            / F.size("embedding"),
+            12,
+        ).alias("mse"),
+    )
+
+
 _MIX_RATES_SQL = (
     "CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 128 "
     "WHEN 'src2' THEN 64 ELSE 32 END"

@@ -1,0 +1,127 @@
+"""Invariant tests for the corpus-build pipeline operators — properties the
+DuckDB oracle parity can't express (cross-query consistency, determinism
+under repartitioning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark import registry
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.operators.llm_pipeline import (
+    corpus_train_split,
+    gopher_repetition_filters,
+    sequence_packing_bins,
+    span_dedup_corpus,
+)
+from sabd_deduplicator_spark.operators.text import with_tokens
+
+registry.load_all_queries()
+
+
+def test_span_dedup_kept_equals_distinct_spans(spark, sf_dir):
+    """Corpus-wide invariant: total kept spans == number of DISTINCT spans
+    (each distinct span survives exactly once), and no doc keeps more spans
+    than it has."""
+    res = span_dedup_corpus(spark, sf_dir)
+    agg = res.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_spans").alias("total")
+    ).first()
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    distinct_spans = (
+        d.select(F.explode(spans).alias("span")).select("span").distinct().count()
+    )
+    assert agg["kept"] == distinct_spans
+    assert agg["total"] >= agg["kept"]
+    assert res.filter(F.col("n_kept") > F.col("n_spans")).count() == 0
+
+
+def test_span_dedup_first_doc_keeps_everything(spark, sf_dir):
+    """The reference's first-occurrence rule (deduplicator.ex:84-119) lifted
+    to spans: the globally smallest doc_id keeps ALL its spans (nothing
+    precedes it), so its reassembled text is the original."""
+    docs = table(spark, sf_dir, "documents")
+    first = docs.orderBy("doc_id").select("doc_id", "text").first()
+    row = (
+        span_dedup_corpus(spark, sf_dir)
+        .filter(F.col("doc_id") == first["doc_id"])
+        .first()
+    )
+    assert row["n_kept"] == row["n_spans"]
+    assert row["kept_text"] == first["text"]
+
+
+def test_train_split_deterministic_under_repartition(spark, sf_dir):
+    """The md5-bucket split must not depend on partition layout (the failure
+    mode of rand(seed) splits): per-split counts are identical when the input
+    is read through a different partitioning."""
+    a = {
+        (r["split"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in corpus_train_split(spark, sf_dir).toLocalIterator()
+    }
+    docs = table(spark, sf_dir, "documents").repartition(13, "lang")
+    docs.createOrReplaceTempView("documents_repart")
+    # recompute through the same expressions over the repartitioned data
+    from sabd_deduplicator_spark.operators.llm_pipeline import _hex_bucket
+
+    d = with_tokens(docs)
+    b = _hex_bucket("doc_id")
+    split = F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+    again = {
+        (r["split"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in d.select(split.alias("split"), "lang", F.size("tokens").cast("long").alias("n_tok"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .toLocalIterator()
+    }
+    assert a == again
+    total = sum(n for n, _ in a.values())
+    train = sum(n for (s, _), (n, _) in a.items() if s == "train")
+    assert 0.70 <= train / total <= 0.90  # ~80% by construction
+
+
+def test_packing_bins_conserve_tokens(spark, sf_dir):
+    """Packing must conserve token mass: per-lang bin totals sum to the
+    per-lang corpus totals, and every bin except the last holds >= 512
+    tokens' worth of starts (bin ids are dense from 0)."""
+    bins = sequence_packing_bins(spark, sf_dir)
+    per_lang = {
+        r["lang"]: r["s"]
+        for r in bins.groupBy("lang").agg(F.sum("n_tokens").alias("s")).toLocalIterator()
+    }
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    truth = {
+        r["lang"]: r["s"]
+        for r in d.groupBy("lang")
+        .agg(F.sum(F.size("tokens").cast("long")).alias("s"))
+        .toLocalIterator()
+    }
+    assert per_lang == truth
+    # dense bins from 0 per lang
+    for r in bins.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.count("*").alias("n"),
+    ).toLocalIterator():
+        assert r["lo"] == 0
+        assert r["n"] == r["hi"] + 1
+
+
+def test_gopher_fracs_bounded(spark, sf_dir):
+    """Repetition fractions are valid fractions: 0 < top <= dup+top bound,
+    dup_bigram_frac <= ~2 (token mass double-counts interior tokens) and the
+    top bigram's mass never exceeds the duplicated mass unless it is the
+    only repeated bigram."""
+    g = gopher_repetition_filters(spark, sf_dir)
+    bad = g.filter(
+        (F.col("top_bigram_frac") <= 0)
+        | (F.col("top_bigram_frac") > 2)
+        | (F.col("dup_bigram_frac") < 0)
+        | (F.col("dup_bigram_frac") > 2)
+    ).count()
+    assert bad == 0
+    assert g.count() == table(spark, sf_dir, "documents").count()
