@@ -141,3 +141,83 @@ def compression_stats(result: DedupResult) -> DataFrame:
         "encoded_chars",
         F.round(F.col("encoded_chars") / F.col("raw_chars"), 4).alias("ratio"),
     )
+
+
+@dataclass
+class CorpusBuildResult:
+    """Outputs of build_training_corpus (the LLM-pipeline composition)."""
+
+    clean_docs: DataFrame  # doc_id, lang, source, split, text, n_tokens
+    report: DataFrame      # per-lang survivorship funnel
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_stop_pct: int = 5,
+    min_span_survival_pct: int = 50,
+) -> CorpusBuildResult:
+    """End-to-end pre-training corpus build — the user-level composition of
+    the LLM-pipeline operators (operators/llm_pipeline.py), the way the
+    reference composes chunk→hash→index→encode into deduplicate_file
+    (lib/deduplicator.ex:22-57):
+
+    1. span-level corpus dedup (span_survivorship): each doc is rewritten to
+       its globally-first-occurring `span_tokens`-token spans;
+    2. quality gates on the ORIGINAL doc (token-length band, stopword-ratio
+       floor — integer arithmetic, no float compares) plus the span-survival
+       floor (near-dup removal);
+    3. deterministic md5-bucket train/val/test assignment (train_split_col).
+
+    Returns the cleaned, labeled corpus (text = deduped reassembly, token
+    count recomputed on it) and the per-language survivorship funnel. All
+    stages are narrow transforms + two linear shuffles (the span window and
+    the reassembly aggregate); nothing touches the driver.
+    """
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        span_survivorship,
+        train_split_col,
+    )
+    from sabd_deduplicator_spark.operators.text import STOPWORDS, with_tokens
+
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = with_tokens(docs).select(
+        "doc_id",
+        "lang",
+        "source",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.expr(
+            f"CAST(size(filter(tokens, x -> array_contains({stop_arr}, x))) AS LONG)"
+        ).alias("n_stop"),
+    )
+    surv = span_survivorship(
+        d, span_tokens=span_tokens, carry=("lang", "source", "n_tok", "n_stop")
+    )
+    near_ok = 100 * F.col("n_kept") >= min_span_survival_pct * F.col("n_spans")
+    len_ok = F.col("n_tok").between(min_tokens, max_tokens)
+    stop_ok = 100 * F.col("n_stop") >= min_stop_pct * F.col("n_tok")
+    clean = (
+        surv.filter(near_ok & len_ok & stop_ok)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            train_split_col("doc_id").alias("split"),
+            F.col("kept_text").alias("text"),
+            F.size(F.split("kept_text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    report = surv.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(near_ok, 1).otherwise(0)).alias("n_after_near"),
+        F.sum(F.when(near_ok & len_ok, 1).otherwise(0)).alias("n_after_len"),
+        F.sum(F.when(near_ok & len_ok & stop_ok, 1).otherwise(0)).alias("n_final"),
+        F.sum(F.when(near_ok & len_ok & stop_ok, F.col("n_tok")).otherwise(0)).alias(
+            "tokens_final"
+        ),
+    )
+    return CorpusBuildResult(clean_docs=clean, report=report)

@@ -102,6 +102,65 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_survivorship(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    carry: tuple[str, ...] = (),
+    with_text: bool = True,
+) -> DataFrame:
+    """Library core of span-level corpus dedup: split each document (must
+    already carry a `tokens` array — see text.with_tokens) into fixed
+    `span_tokens`-token spans, apply the corpus-wide first-occurrence rule
+    (window over md5(span) ordered by (doc_id, span_idx) — the reference's
+    smallest-`line` rule, lib/deduplicator.ex:84-119, lifted to corpus
+    scope), and return one row per document:
+    ``doc_id, *carry, n_spans, n_kept[, kept_text]``.
+
+    `carry` columns ride the explode and the group-by unchanged (doc_id is
+    unique, so they add no grouping cardinality). `with_text=False` skips the
+    reassembly string aggregate when only survivorship counts are needed.
+
+    Two shuffles, both linear in corpus size: the dedup window (same shape
+    as dedup_hash_links) and the per-doc reassembly aggregate; collect_list
+    is order-safe because the struct array is sorted by span_idx."""
+    spans = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(tokens) / {span_tokens}.0) AS INT)"
+        f" - 1), i -> array_join(slice(tokens, i * {span_tokens} + 1, "
+        f"{span_tokens}), ' '))"
+    )
+    ex = docs.select(
+        "doc_id",
+        *carry,
+        F.posexplode(spans).alias("span_idx", "span"),
+    ).withColumn("span_idx", F.col("span_idx").cast("long"))
+    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    aggs = [
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    ]
+    if with_text:
+        kept_struct = F.when(
+            F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+        )
+        aggs.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
+                ),
+                " ",
+            ).alias("kept_text")
+        )
+    return ranked.groupBy("doc_id", *carry).agg(*aggs)
+
+
+def train_split_col(id_col: str = "doc_id") -> F.Column:
+    """Deterministic ~80/10/10 split label from the md5 hex bucket of an id
+    column — stable across runs, engines, partitionings, cluster sizes."""
+    b = _hex_bucket(id_col)
+    return F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
+
+
 @query(
     "span_dedup_corpus",
     oracle=(
@@ -125,41 +184,10 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide span-level dedup (RefinedWeb-style substring dedup, and
-    the corpus generalization of the reference's chunk first-occurrence rule,
-    lib/deduplicator.ex:84-119): split every document into fixed 8-token
-    spans, keep only the globally FIRST occurrence of each distinct span
-    (order = (doc_id, span_idx), exactly the reference's smallest-`line`
-    rule), and reassemble each document from its surviving spans.
-
-    Two shuffles, both linear: the first-occurrence window partitions by
-    md5(span) (same shape as dedup_hash_links), the reassembly groups by
-    doc_id; collect_list is order-safe because the struct array is sorted by
-    span_idx before joining."""
+    """Corpus-wide span-level dedup (RefinedWeb-style substring dedup): see
+    span_survivorship for semantics and scale posture."""
     d = with_tokens(table(spark, sf_dir, "documents"))
-    spans = F.expr(
-        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
-        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
-    )
-    ex = (
-        d.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
-        .select("doc_id", F.col("span_idx").cast("long").alias("span_idx"), "span")
-    )
-    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
-    ranked = ex.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
-    )
-    return ranked.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda x: x["span"]
-            ),
-            " ",
-        ).alias("kept_text"),
-    )
+    return span_survivorship(d).select("doc_id", "n_spans", "n_kept", "kept_text")
 
 
 @query(
@@ -183,10 +211,7 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, and re-runs, unlike `rand(seed)` whose draw depends on partition
     layout. One hash aggregate for the per-split per-lang profile."""
     d = with_tokens(table(spark, sf_dir, "documents"))
-    b = _hex_bucket("doc_id")
-    split = (
-        F.when(b < 204, "train").when(b < 230, "val").otherwise("test")
-    ).alias("split")
+    split = train_split_col("doc_id").alias("split")
     return (
         d.select(split, "lang", F.size("tokens").cast("long").alias("n_tok"))
         .groupBy("split", "lang")
@@ -306,19 +331,8 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(size(filter(tokens, x -> array_contains({stop_arr}, x))) AS LONG)"
         ).alias("n_stop"),
     )
-    spans = F.expr(
-        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
-        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
-    )
-    ex = d.select(
-        "doc_id", "lang", "n_tok", "n_stop",
-        F.posexplode(spans).alias("span_idx", "span"),
-    )
-    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
-    ranked = ex.withColumn("rn", F.row_number().over(w))
-    per_doc = ranked.groupBy("doc_id", "lang", "n_tok", "n_stop").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+    per_doc = span_survivorship(
+        d, carry=("lang", "n_tok", "n_stop"), with_text=False
     )
     near_ok = 2 * F.col("n_kept") >= F.col("n_spans")
     len_ok = F.col("n_tok").between(20, 90)

@@ -125,3 +125,40 @@ def test_gopher_fracs_bounded(spark, sf_dir):
     ).count()
     assert bad == 0
     assert g.count() == table(spark, sf_dir, "documents").count()
+
+
+def test_build_training_corpus_matches_funnel_query(spark, sf_dir):
+    """The API composition must agree with the oracle-checked funnel query
+    at the same thresholds, and its cleaned corpus must be internally
+    consistent (ids unique + subset, split labels valid, token counts match
+    the reassembled text)."""
+    from sabd_deduplicator_spark.api import build_training_corpus
+    from sabd_deduplicator_spark.operators.llm_pipeline import corpus_build_funnel
+
+    docs = table(spark, sf_dir, "documents")
+    res = build_training_corpus(spark, docs)
+    api_report = {
+        r["lang"]: (r["n_docs"], r["n_after_near"], r["n_after_len"],
+                    r["n_final"], r["tokens_final"])
+        for r in res.report.toLocalIterator()
+    }
+    q_report = {
+        r["lang"]: (r["n_docs"], r["n_after_near"], r["n_after_len"],
+                    r["n_final"], r["tokens_final"])
+        for r in corpus_build_funnel(spark, sf_dir).toLocalIterator()
+    }
+    assert api_report == q_report
+
+    clean = res.clean_docs
+    n_clean = clean.count()
+    assert n_clean == sum(v[3] for v in api_report.values())
+    assert clean.select("doc_id").distinct().count() == n_clean
+    assert clean.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    bad_tok = clean.filter(
+        F.size(F.split("text", " ")).cast("long") != F.col("n_tokens")
+    ).count()
+    assert bad_tok == 0
+    # cleaned docs are a subset of the input ids
+    assert (
+        clean.join(docs, "doc_id", "left_anti").count() == 0
+    )
