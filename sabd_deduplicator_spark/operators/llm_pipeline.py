@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from sabd_deduplicator_spark.catalog import table
 from sabd_deduplicator_spark.operators.text import with_tokens
@@ -241,23 +242,49 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: concatenate each language
     stream in doc_id order and cut it into 512-token bins; a document's bin
-    is the bin of its first token (floor(prefix_sum_before / 512)). The
-    prefix sum is a running-total window per language stream — bounded
-    parallelism by design (a prefix sum is sequential per stream); at 100 TB
-    use the two-phase form: per-partition subtotals → broadcast cumulative
-    offsets → local rescan. Output is the per-bin packing profile."""
+    is the bin of its first token (floor(prefix_sum_before / 512)).
+
+    The prefix sum is DISTRIBUTED as the classic two-phase scan, with
+    deterministic blocks (block = doc_id // 1024 — never partition ids,
+    which are layout-dependent):
+      phase 1: intra-block running totals, window partitioned by
+               (lang, block) — parallelism scales with corpus size;
+      phase 2: per-block subtotals (one row per block), prefix-summed by a
+               window over the TINY block table and broadcast-joined back.
+    The naive alternative (one running-total window per language) serializes
+    each language stream through a single task — the first thing to break at
+    100×. Values are identical; the oracle keeps the naive form."""
     d = with_tokens(table(spark, sf_dir, "documents"))
     base = d.select(
-        "lang", "doc_id", F.size("tokens").cast("long").alias("n_tok")
+        "lang",
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        (F.col("doc_id") / 1024).cast("long").alias("block"),
     )
-    w = (
-        Window.partitionBy("lang")
+    w_local = (
+        Window.partitionBy("lang", "block")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    binned = base.withColumn(
+    local = base.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    block_totals = base.groupBy("lang", "block").agg(
+        F.sum("n_tok").alias("block_sum")
+    )
+    w_blocks = (
+        Window.partitionBy("lang")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = block_totals.select(
+        "lang",
+        "block",
+        F.coalesce(F.sum("block_sum").over(w_blocks), F.lit(0)).alias("offset"),
+    )
+    binned = local.join(broadcast(offsets), ["lang", "block"]).withColumn(
         "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512)).cast("long"),
+        F.floor(
+            (F.col("offset") + F.col("local_cum") - F.col("n_tok")) / F.lit(512)
+        ).cast("long"),
     )
     return binned.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),

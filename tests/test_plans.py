@@ -197,6 +197,15 @@ def test_llm_pipeline_shapes(spark, sf_dir):
     gopher = q("gopher_repetition_filters", spark, sf_dir)
     assert not has_row_python_udf(gopher)
     assert "SortAggregate" not in formatted_plan(gopher)
+    # packing's prefix sum must be the two-phase scan: the data-sized window
+    # partitions by (lang, block), never by lang alone (single-task stream)
+    pack = q("sequence_packing_bins", spark, sf_dir)
+    plan = pack._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_windows = [s for s in specs if "doc_id" in s]
+    assert data_windows and all("block" in s for s in data_windows), specs
 
 
 def test_q21_chained_subqueries_stay_equi_joins(spark, sf_dir):
