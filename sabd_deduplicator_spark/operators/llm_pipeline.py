@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.operators.dedup import _packed_ordinal
 from sabd_deduplicator_spark.operators.text import with_tokens
 from sabd_deduplicator_spark.registry import query
 
@@ -121,28 +122,40 @@ def span_survivorship(
     unique, so they add no grouping cardinality). `with_text=False` skips the
     reassembly string aggregate when only survivorship counts are needed.
 
-    Two shuffles, both linear in corpus size: the dedup window (same shape
-    as dedup_hash_links) and the per-doc reassembly aggregate; collect_list
-    is order-safe because the struct array is sorted by span_idx."""
+    Skew posture (the same defense dedup.py uses for hash_links): a
+    row_number window over md5(span) would funnel EVERY copy of a hot span
+    (boilerplate at corpus scale) through one task — windows cannot be
+    split. Instead the first occurrence is min(packed (doc_id, span_idx)
+    ordinal) in ONE hash aggregate (map-side combine collapses the hot span
+    per input partition) and a keeper is marked by an equi-join back on the
+    span hash (AQE skew-join can split the probe side). Three linear
+    shuffles total: min-agg, keeper join, per-doc reassembly."""
     spans = F.expr(
         f"transform(sequence(0, CAST(ceil(size(tokens) / {span_tokens}.0) AS INT)"
         f" - 1), i -> array_join(slice(tokens, i * {span_tokens} + 1, "
         f"{span_tokens}), ' '))"
     )
-    ex = docs.select(
-        "doc_id",
-        *carry,
-        F.posexplode(spans).alias("span_idx", "span"),
-    ).withColumn("span_idx", F.col("span_idx").cast("long"))
-    w = Window.partitionBy(F.md5("span")).orderBy("doc_id", "span_idx")
-    ranked = ex.withColumn("rn", F.row_number().over(w))
+    ex = (
+        docs.select(
+            "doc_id",
+            *carry,
+            F.posexplode(spans).alias("span_idx", "span"),
+        )
+        .withColumn("span_idx", F.col("span_idx").cast("long"))
+        .withColumn("h", F.md5("span"))
+        .withColumn("packed", _packed_ordinal("doc_id", "span_idx"))
+    )
+    mins = ex.groupBy("h").agg(F.min("packed").alias("min_packed"))
+    marked = ex.join(mins, "h").withColumn(
+        "is_first", F.col("packed") == F.col("min_packed")
+    )
     aggs = [
         F.count("*").alias("n_spans"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
     ]
     if with_text:
         kept_struct = F.when(
-            F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+            F.col("is_first"), F.struct(F.col("span_idx"), F.col("span"))
         )
         aggs.append(
             F.array_join(
@@ -152,7 +165,7 @@ def span_survivorship(
                 " ",
             ).alias("kept_text")
         )
-    return ranked.groupBy("doc_id", *carry).agg(*aggs)
+    return marked.groupBy("doc_id", *carry).agg(*aggs)
 
 
 def train_split_col(id_col: str = "doc_id") -> F.Column:

@@ -191,9 +191,14 @@ def test_llm_pipeline_shapes(spark, sf_dir):
         df = q(name, spark, sf_dir)
         assert count_exchanges(df) <= 1, name
         assert not has_row_python_udf(df), name
+    # span dedup must be the skew-safe agg+join shape: min(packed) in a
+    # HashAggregate (map-side combine absorbs hot spans) + an equi keeper
+    # join — NEVER a row_number window over the span hash (unsplittable
+    # hot-key funnel)
     span = formatted_plan(q("span_dedup_corpus", spark, sf_dir))
-    assert "Join" not in span
-    assert "Window" in span
+    assert "Window" not in span
+    assert "HashAggregate" in span
+    assert "partial_min" in span  # map-side combine present
     gopher = q("gopher_repetition_filters", spark, sf_dir)
     assert not has_row_python_udf(gopher)
     assert "SortAggregate" not in formatted_plan(gopher)

@@ -76,3 +76,50 @@ def test_global_encode_under_skew(spark):
     hot_ptr = tokens.filter(F.col("token") == "1" + "000000" + "000001")
     assert hot_ptr.count() == int(n * 0.95) - 1
     assert dt < 90, f"skewed global encode took {dt:.1f}s"
+
+
+def test_span_dedup_under_hot_span_skew(spark):
+    """Corpus with ONE boilerplate span dominating (95% of all spans): the
+    agg+join span dedup must stay correct — exactly one global keeper for the
+    hot span (the smallest (doc_id, span_idx) ordinal) — and fast, because
+    min(packed) collapses the hot span map-side; a row_number window here
+    would drag every copy through one task."""
+    import time
+
+    from sabd_deduplicator_spark.operators.llm_pipeline import span_survivorship
+
+    n_docs = 20_000
+    hot = "a b c d e f g h"  # one 8-token boilerplate span
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 20 != 0,  # 95% of docs are pure boilerplate ×2
+            F.lit(hot + " " + hot),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique" + "_tok " * 7 + "end"),
+                F.lit(" "),
+                F.concat(F.lit("tail_"), F.col("id").cast("string")),
+            )
+        )
+        .alias("text"),
+    ).withColumn("tokens", F.split("text", " "))
+    t0 = time.time()
+    surv = span_survivorship(docs, with_text=False)
+    total_kept = surv.agg(F.sum("n_kept").alias("k")).first()["k"]
+    elapsed = time.time() - t0
+    # hot docs contribute 2 spans each, all copies of ONE span; doc 0 is the
+    # smallest doc_id and is a unique doc, so the hot span's keeper lives in
+    # doc 1 — every other hot doc keeps zero spans
+    hot_keepers = surv.filter((F.col("doc_id") == 1)).first()
+    assert hot_keepers["n_kept"] == 1  # first copy only (span_idx 0 wins)
+    zero_docs = surv.filter(
+        (F.col("doc_id") % 20 != 0) & (F.col("doc_id") > 1) & (F.col("n_kept") > 0)
+    ).count()
+    assert zero_docs == 0
+    # distinct spans: the hot span + the (shared) unique-doc head span + one
+    # tail span per unique doc
+    n_unique_docs = n_docs // 20
+    assert total_kept == 2 + n_unique_docs
+    assert elapsed < 60, f"hot-span dedup took {elapsed:.1f}s"
