@@ -54,6 +54,7 @@ def load_all_queries() -> None:
         text,
         timeseries,
         tpch_extra,
+        tpch_extra2,
         udx,
     )
     from sabd_deduplicator_spark.streaming import registered  # noqa: F401

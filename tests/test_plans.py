@@ -220,3 +220,22 @@ def test_q21_chained_subqueries_stay_equi_joins(spark, sf_dir):
     plan = formatted_plan(q("q21_sole_late_supplier", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_extra2_shapes(spark, sf_dir):
+    """Scale gates for the Q2/Q11/Q16/Q20 family (derived-offers relation):
+    the only data-sized shuffle is the offers aggregation; every dimension
+    side (supplier chain, per-part min, one-row total, excluded suppliers,
+    surviving suppkeys) broadcasts; NOT IN on the non-null key plans as a
+    plain anti join, and nothing degenerates to a nested loop."""
+    p2 = formatted_plan(q("q2_min_cost_supplier", spark, sf_dir))
+    assert "BroadcastHashJoin" in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    p11 = formatted_plan(q("q11_important_parts", spark, sf_dir))
+    # the global-scalar HAVING arrives as a broadcast of a ONE-row aggregate;
+    # a nested-loop join against one row is constant work, not quadratic
+    assert "BroadcastHashJoin" in p11 or "BroadcastNestedLoopJoin" in p11
+    p16 = formatted_plan(q("q16_supplier_part_counts", spark, sf_dir))
+    assert "LeftAnti" in p16 and "BroadcastNestedLoopJoin" not in p16
+    p20 = formatted_plan(q("q20_excess_suppliers", spark, sf_dir))
+    assert "LeftSemi" in p20 and "BroadcastNestedLoopJoin" not in p20
