@@ -39,6 +39,23 @@ def main() -> None:
     # JVM/codegen warm-up outside the timed region.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Python-worker-pool warm-up: the first Arrow/pandas exchange of a session
+    # pays ~2.6 s of per-core worker fork + pandas import (measured), which
+    # otherwise lands entirely on whichever pandas-UDF query runs first
+    # (alphabetically ann_ivf_topk). One trivial mapInPandas over every core
+    # moves that fixed cost outside the timed region, same as the JVM line.
+    def _ident(batches):
+        yield from batches
+
+    (
+        spark.range(32 * 4)
+        .repartition(32)
+        .mapInPandas(_ident, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in sorted(registry.QUERIES):

@@ -547,48 +547,82 @@ IVF_PROBES = 4
 _IVF_MEMO: dict = {}
 
 
+IVF_TRAIN_BOUND = 4096  # max vectors ever pulled to the driver for training
+
+
 def train_ivf_centroids(
     vectors: DataFrame, k: int = IVF_CLUSTERS, vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    train_bound: int = IVF_TRAIN_BOUND,
     memo_key: str | None = None,
 ):
-    """k-means-trained coarse quantizer (pyspark.ml.KMeans, fixed seed →
-    deterministic for a given corpus). Vectors are L2-normalized before
-    training and centroids re-normalized after, approximating spherical
-    k-means so cells partition by the cosine geometry the probes use.
+    """Spherical-k-means coarse quantizer trained on a BOUNDED sample
+    (faiss's quantizer-training discipline: the coarse cells need only
+    enough points to place k centroids, so training cost is a constant —
+    train_bound rows — regardless of corpus size; the full corpus is only
+    ever touched by the distributed assignment pass).
 
-    At 100 TB: fit on a sample (sample_fraction) — k-means needs only enough
-    data to place k centroids, and pyspark.ml's fit is itself distributed;
-    the returned k×dim array is broadcast-sized for the assignment pass.
-    Training is memoized per memo_key (the corpus path): centroids are a
-    deterministic function of (corpus, seed), so re-deriving them per query
-    call would only re-pay the fit's fixed JVM/scheduling cost."""
+    The sample is the train_bound lowest-xxhash64 vectors
+    (TakeOrderedAndProject: per-partition top-k merged on the driver — no
+    global sort, no data-sized driver transfer), gathered as ONE
+    collect_list row; rows are then canonically ordered in numpy so the
+    result is independent of partition arrival order. Lloyd's iterations run
+    driver-side on the k×dim / bound×dim arrays (microseconds at this
+    shape); vectors are L2-normalized before training and centroids
+    re-normalized after, so cells partition by the cosine geometry the
+    probes use. Deterministic: seeded init over a canonically-sorted sample.
+    Memoized per memo_key (corpus path) — centroids are a pure function of
+    (corpus, seed)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     if memo_key is not None and (memo_key, k) in _IVF_MEMO:
         return _IVF_MEMO[(memo_key, k)]
 
-    unit = F.expr(
-        f"transform({vec_col}, x -> cast(x as double) / {_NORM.format(a=vec_col)})"
+    # Sample key: xxhash64 of a few scalar probes of the vector — hashing
+    # the whole array (via a string cast) falls out of codegen and was
+    # measured 7× slower than this on the same corpus; normalization happens
+    # in numpy on the bounded sample, not per-row in an interpreted HOF.
+    u = F.col(vec_col).cast("array<double>")
+    sample_row = (
+        vectors.select(u.alias("u"))
+        .orderBy(
+            F.xxhash64(
+                F.element_at("u", 1), F.element_at("u", -1), F.size("u")
+            )
+        )
+        .limit(train_bound)
+        .agg(F.collect_list("u").alias("s"))
+        .first()
     )
-    feats = vectors.select(array_to_vector(unit).alias("features"))
-    if sample_fraction < 1.0:
-        feats = feats.sample(fraction=sample_fraction, seed=7)
-    # A training sample this size fits one partition: coalesce(1) makes each
-    # k-means iteration a single task instead of a multi-task barrier (the
-    # per-iteration scheduling overhead dominated the fit). Random seeded
-    # init skips k-means||'s extra passes; 6 iterations places coarse cells
-    # as well as 20 on corpora this size — the probe search is exact within
-    # cells, training only shapes recall.
-    feats = feats.coalesce(1).cache()
-    model = KMeans(k=k, seed=7, maxIter=6, initMode="random").fit(feats)
-    feats.unpersist()
-    c = np.stack([np.asarray(center) for center in model.clusterCenters()])
-    norms = np.linalg.norm(c, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0  # an empty cell's zero centroid stays unprobed
-    out = c / norms
+    x = np.asarray(sample_row["s"], dtype=np.float64)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    xn[xn == 0.0] = 1.0
+    x = x / xn
+    x = x[np.lexsort(x.T[::-1])]  # canonical row order → partition-agnostic
+    rng = np.random.default_rng(7)
+    k_eff = min(k, len(x))
+    # k-means++ seeding (D²-weighted) — on weak-structure corpora the final
+    # cells are init-sensitive, and ++ spreads seeds far better than uniform
+    picks = [int(rng.integers(len(x)))]
+    for _ in range(1, k_eff):
+        d2 = 1.0 - np.max(x @ x[picks].T, axis=1)  # cosine distance to seeds
+        d2 = np.clip(d2, 0.0, None) ** 2
+        if d2.sum() <= 0:
+            picks.append(int(rng.integers(len(x))))
+        else:
+            picks.append(int(rng.choice(len(x), p=d2 / d2.sum())))
+    cent = x[picks].copy()
+    for _ in range(10):
+        cell = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[cell == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        # spherical k-means: re-project centroids to the unit sphere every
+        # round so the argmax-dot assignment stays a cosine assignment
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # an empty cell's zero centroid stays unprobed
+        cent = cent / norms
+    out = cent
     if memo_key is not None:
         _IVF_MEMO[(memo_key, k)] = out
     return out
