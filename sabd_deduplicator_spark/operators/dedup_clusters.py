@@ -54,6 +54,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     # disambiguated copy of the edge list: labels/edges share lineage (labels
     # is derived from edges), so joins between them need distinct attributes
     ev = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")).localCheckpoint()
+    # Convergence check without a join: min-label propagation is MONOTONE
+    # (a node's label can only decrease), so the label-sum strictly decreases
+    # every round until the fixpoint — one map-side-combined aggregate per
+    # round replaces the new-vs-old equi-join + count (one fewer shuffle job
+    # per round). decimal(38,0) keeps the sum exact for any (node-count ×
+    # id-range) this engine allows, where a long sum could wrap.
+    prev_sum = None
     for _ in range(max_rounds):
         nbr = (
             ev.join(labels, ev.ev == labels.u, "inner")
@@ -66,16 +73,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()  # truncate lineage each round; plan stays O(1)
         )
-        changed = (
-            new_labels.select(F.col("u").alias("nu"), F.col("lbl").alias("new"))
-            .join(labels.select(F.col("u").alias("ou"), F.col("lbl").alias("old")),
-                  F.col("nu") == F.col("ou"))
-            .filter(F.col("new") != F.col("old"))
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("u", F.col("lbl").alias("component_id"))
 
 
