@@ -491,3 +491,62 @@ def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# compile identically: character classes, bounded repeats, no lookaround.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+# The synthetic corpus contains no real PII, so the query APPENDS
+# deterministic PII built from (doc_id, source) with the same expression in
+# both engines — the scrub then has real matches to find and the value hash
+# proves the redaction semantics, not just a no-op pass-through.
+_SEEDED_SQL = (
+    "substring(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail-' || source || '.example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "pii_scrub_docs",
+    oracle=(
+        f"SELECT doc_id, regexp_replace(regexp_replace(({_SEEDED_SQL}), "
+        f"'{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed, "
+        f"CAST(len(regexp_extract_all(({_SEEDED_SQL}), '{_EMAIL_RE}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(({_SEEDED_SQL}), '{_PHONE_RE}')) AS INT) AS n_phones "
+        "FROM documents"
+    ),
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone numbers): regexp_replace + match
+    counts per document — the compliance scrub every training corpus runs
+    before tokenization. Pure narrow projection: JVM-side regex, no shuffle,
+    scales as the scan. Patterns are restricted to the regex subset Java and
+    RE2 share, so the oracle value-checks the exact redacted strings. The
+    corpus is synthetic (no organic PII), so deterministic PII is appended
+    from (doc_id, source) identically in both engines — the scrub is
+    exercised on real matches, not a no-op."""
+    d = table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(seeded, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )

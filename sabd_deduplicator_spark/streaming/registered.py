@@ -176,6 +176,76 @@ def streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NATIVE_GAP_S = 600  # session_window gap (10 minutes)
+
+_NATIVE_SESSIONS_SQL = (
+    # Batch twin of Spark's built-in session_window semantics: a session
+    # BREAKS when the gap is >= the window duration (Spark merges an event
+    # into the previous session only while next_ts < prev_ts + gap), and the
+    # emitted window end is last_ts + gap.
+    "WITH brk AS ("
+    "  SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL "
+    f"    OR ts - lag(ts) OVER w >= INTERVAL {_NATIVE_GAP_S} SECONDS "
+    "    THEN 1 ELSE 0 END AS b "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "numbered AS ("
+    "  SELECT user_id, ts, value, sum(b) OVER (PARTITION BY user_id ORDER BY ts "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM brk) "
+    "SELECT user_id, "
+    "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+    f"strftime(max(ts) + INTERVAL {_NATIVE_GAP_S} SECONDS, '%Y-%m-%d %H:%M:%S.%f') AS session_end, "
+    "count(*) AS n_events, " + dsum_sql("value") + " AS total_value "
+    "FROM numbered GROUP BY user_id, sid"
+)
+
+
+@query("streaming_session_window", oracle=_NATIVE_SESSIONS_SQL)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window aggregation (vs streaming_closed_
+    sessions' custom applyInPandasWithState operator — both sessionization
+    paths are covered). Complete mode: the drained state holds every merged
+    session, so the result equals batch gaps-and-islands under session_window
+    semantics (break at gap >= duration, window end = last event + gap) —
+    fully value-checked against that SQL. At scale the state store keys by
+    (user, window) and merges windows per key; complete mode is the drain
+    harness, an always-on pipeline would use watermark + append."""
+    from sabd_deduplicator_spark.catalog import table
+
+    staged = _stage(
+        table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value"),
+        n_files=2,
+    )
+    src = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = (
+        src.select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .groupBy(
+            F.session_window("ts", f"{_NATIVE_GAP_S} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    drained = _drain(agg, "complete")
+    return drained.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        F.round(F.col("total_value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 @query(
     "streaming_refcount_complete",
     oracle="SELECT md5(text) AS hash, count(*) AS refs_num FROM documents GROUP BY 1",
