@@ -56,33 +56,54 @@ def main() -> None:
         .save()
     )
 
+    # Each query runs REPS times and the reported number is the MEDIAN —
+    # cross-boot JIT/GC variance dominated round-over-round comparison when
+    # every query was a single sample (round-2 verdict: four queries flagged
+    # >1.5x that re-measured at round-1 speed isolated). Total wall across
+    # ALL runs is reported alongside so the headline stays honest.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
+    per_query_runs: dict[str, list[float]] = {}
     total = 0.0
+    wall_all_runs = 0.0
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         print(f"bench: running {name}", file=sys.stderr)
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            dt = float("nan")
-        per_query[name] = round(dt, 3)
-        if dt == dt:  # not NaN
-            total += dt
-        # Untimed GC between queries: without it, collection debt from earlier
-        # queries lands as multi-second pauses inside later timed regions
-        # (measured: the same query is 0.6 s isolated, 7 s mid-run).
-        spark.sparkContext._jvm.System.gc()
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                runs = []
+                break
+            # Untimed GC between runs: without it, collection debt from
+            # earlier queries lands as multi-second pauses inside later timed
+            # regions (measured: 0.6 s isolated vs 7 s mid-run).
+            spark.sparkContext._jvm.System.gc()
+        if runs:
+            med = sorted(runs)[len(runs) // 2]
+            per_query[name] = med
+            per_query_runs[name] = runs
+            total += med
+            wall_all_runs += sum(runs)
+        else:
+            per_query[name] = float("nan")
+            per_query_runs[name] = []
+            spark.sparkContext._jvm.System.gc()
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail = {
-        "metric": "total_query_wall_seconds",
+        "metric": "total_query_median_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "runs": per_query_runs,
+        "reps": reps,
+        "wall_all_runs_sec": round(wall_all_runs, 3),
         "sf": sf,
         "n_queries": len(per_query),
     }
@@ -97,12 +118,14 @@ def main() -> None:
     )
     line = json.dumps(
         {
-            "metric": "total_query_wall_seconds",
+            "metric": "total_query_median_seconds",
             "value": round(total, 3),
             "unit": "sec",
             "queries": slowest,
             "sf": sf,
             "n_queries": len(per_query),
+            "reps": reps,
+            "wall_all_runs_sec": round(wall_all_runs, 3),
             "n_failed": len(failed),
             "failed": failed[:10],
             "detail": "BENCH_DETAIL.json",

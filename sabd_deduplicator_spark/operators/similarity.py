@@ -297,30 +297,29 @@ def knn_exact_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "label_centroids",
     oracle=(
-        "SELECT label, list(round(m, 6) ORDER BY pos) AS centroid FROM ("
-        "  SELECT label, pos, avg(v) AS m FROM ("
-        "    SELECT label, unnest(range(len(embedding))) AS pos, "
-        "           unnest(list_transform(embedding, x -> x::DOUBLE)) AS v "
-        "    FROM embeddings"
-        "  ) GROUP BY label, pos"
-        ") GROUP BY label"
+        "SELECT label, pos, round(avg(v), 6) AS m FROM ("
+        "  SELECT label, unnest(range(len(embedding))) AS pos, "
+        "         unnest(list_transform(embedding, x -> x::DOUBLE)) AS v "
+        "  FROM embeddings"
+        ") GROUP BY label, pos"
     ),
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elementwise mean embedding per label — the centroid/update step of
-    any clustering or class-prototype pipeline, as two hash aggregates:
-    posexplode (codegen, no Python) → avg by (label, dim) → re-assemble
-    ordered arrays. Rounded to 6dp so partial-sum association order can't
-    flip the value hash. Scales as rows×dim exploded rows, all JVM-side."""
+    any clustering or class-prototype pipeline, as one hash aggregate:
+    posexplode (codegen, no Python) → avg by (label, dim). Emitted
+    long-form as scalar (label, pos, m) rows — NOT reassembled into an
+    array column — so every registered output stays scalar-typed and
+    harness canonicalizers can sort/hash it (round-2 driver red row).
+    Rounded to 6dp so partial-sum association order can't flip the value
+    hash. Scales as rows×dim exploded rows, all JVM-side; a caller that
+    wants the array shape can collect_list over this result."""
     e = table(spark, sf_dir, "embeddings")
     exploded = e.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
-    dims = exploded.groupBy("label", "pos").agg(F.avg("v").alias("m"))
-    return dims.groupBy("label").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 6))"
-        ).alias("centroid")
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("m")
     )
 
 

@@ -9,6 +9,7 @@ followed by standard hash aggregates.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,33 +225,72 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_W = 16  # rolling window width (chars)
 
+# Rabin-Karp polynomial rolling hash, computed identically in both engines:
+#   h(window at i) = sum_j codepoint(text[i+j]) * B^(W-1-j)  (mod 2^64),
+# then masked to 63 bits so the value fits a signed BIGINT in both Spark and
+# DuckDB. The per-position powers B^(W-1-j) mod 2^64 are precomputed here and
+# inlined into the oracle as HUGEINT literals (DuckDB sums exactly in int128:
+# codepoint <= 0x10FFFF, power < 2^64, so each term < 2^85 — no overflow
+# before the explicit mod). The round-2 md5-per-position formulation walked an
+# interpreted md5 expression per character (O(len*W) — slowest query in the
+# registry two rounds running); this is one Arrow batch + O(W) vectorized
+# numpy multiply-adds per doc.
+_WINNOW_B = 1000003
+_WINNOW_POWS = [pow(_WINNOW_B, WINNOW_W - 1 - j, 1 << 64) for j in range(WINNOW_W)]
+_WINNOW_MASK63 = (1 << 63) - 1
+
+
+def _winnow_min_hash_kernel(texts):
+    """numpy Rabin-Karp: min 63-bit rolling hash over all W-char windows.
+
+    Vectorized as W shifted multiply-adds over the codepoint array (uint64
+    wraps mod 2^64 natively) — O(W*len) SIMD ops, no per-window Python."""
+    import numpy as np
+
+    pows = np.array(_WINNOW_POWS, dtype=np.uint64)
+    mask = np.uint64(_WINNOW_MASK63)
+    out = np.empty(len(texts), dtype=np.int64)
+    for k, t in enumerate(texts):
+        c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = c.size - WINNOW_W + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(WINNOW_W):
+            h += c[j : j + n] * pows[j]
+        out[k] = int((h & mask).min())
+    return pd.Series(out)
+
 
 @query(
     "text_winnow_fingerprint",
     oracle=(
-        # Rolling-hash document fingerprint (winnowing-lite): hash every
-        # 16-char sliding window, keep the min — robust to local edits,
-        # O(len) per doc in both engines.
-        f"SELECT doc_id, list_aggregate(list_transform(range(1, greatest(length(text) - {WINNOW_W} + 1, 0) + 1), "
-        f"i -> md5(substring(text, CAST(i AS INT), {WINNOW_W}))), 'min') AS winnow_fp, "
+        f"SELECT doc_id, "
+        f"CAST(list_aggregate(list_transform(range(1, greatest(length(text) - {WINNOW_W} + 1, 0) + 1), "
+        f"i -> list_aggregate(list_transform(range(0, {WINNOW_W}), "
+        f"j -> CAST(unicode(substring(text, CAST(i + j AS INT), 1)) AS HUGEINT) "
+        f"* ([{', '.join(str(p) for p in _WINNOW_POWS)}])[j + 1]), 'sum') "
+        f"% {1 << 64} % {1 << 63}), 'min') AS BIGINT) AS winnow_fp, "
         f"CAST(greatest(length(text) - {WINNOW_W} + 1, 0) AS INT) AS n_windows "
-        "FROM documents WHERE length(text) >= 16"
+        f"FROM documents WHERE length(text) >= {WINNOW_W}"
     ),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprint: min over md5 of every WINNOW_W-char sliding
-    window (the winnowing idea with a single global min). Catches near-dups
-    that token-set hashes miss (local reorderings) — pure expressions."""
+    """Rolling-hash fingerprint: min over a Rabin-Karp hash of every
+    WINNOW_W-char sliding window (the winnowing idea with a single global
+    min). Catches near-dups that token-set hashes miss (local reorderings).
+    The hash kernel is an Arrow-batched pandas_udf (`_winnow_min_hash_kernel`)
+    — the one hot loop in the text suite that built-in expressions could only
+    express as an O(len*W) interpreted md5 walk."""
+
+    @F.pandas_udf("long")
+    def winnow_fp_udf(texts: pd.Series) -> pd.Series:
+        return _winnow_min_hash_kernel(texts)
+
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_W)
     n_win = F.greatest(F.length("text") - WINNOW_W + 1, F.lit(0))
-    fp = F.array_min(
-        F.expr(
-            f"transform(sequence(1, greatest(length(text) - {WINNOW_W} + 1, 1)), "
-            f"i -> md5(substring(text, i, {WINNOW_W})))"
-        )
-    )
     return d.select(
-        "doc_id", fp.alias("winnow_fp"), n_win.cast("int").alias("n_windows")
+        "doc_id",
+        winnow_fp_udf("text").alias("winnow_fp"),
+        n_win.cast("int").alias("n_windows"),
     )
 
 

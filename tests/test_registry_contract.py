@@ -44,6 +44,29 @@ def test_oracles_reference_only_registered_views():
             ), f"{name}: oracle references unknown relation {t!r}"
 
 
+def test_all_registered_outputs_scalar_typed(spark, sf_dir):
+    """The driver's canonicalizer sorts every output column with pandas;
+    array/map/struct columns crash it (round-2 red row: label_centroids).
+    Every registered query must emit only scalar-typed columns."""
+    from pyspark.sql import types as T
+
+    from sabd_deduplicator_spark import registry
+
+    registry.load_all_queries()
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        df = registry.QUERIES[name](spark, sf_dir)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, complex_types)
+        ]
+        if bad:
+            offenders.append(f"{name} -> {bad}")
+    assert not offenders, "complex-typed output columns:\n" + "\n".join(offenders)
+
+
 def test_entry_uses_sf0001(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
