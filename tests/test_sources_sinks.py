@@ -132,6 +132,58 @@ def test_decode_stub_raises(spark):
         _decode_image(b"not-an-image")
 
 
+def _tiny_png(width: int, height: int) -> bytes:
+    """A minimal valid grayscale PNG built from stdlib only (no fixture):
+    signature + IHDR + one zlib-deflated IDAT (all-zero scanlines) + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_branch(spark):
+    """The decode branch of extract_media_features, exercised with a REAL
+    in-test PNG payload, passing either way (round-2 verdict item 8):
+    with Pillow importable the ACTUAL payload dimensions must override the
+    catalog metadata; without it the metadata fallback must hold."""
+    from sabd_deduplicator_spark.sources.multimodal import (
+        _image_decoder,
+        extract_media_features,
+    )
+
+    png = _tiny_png(7, 5)
+    blobs = spark.createDataFrame(
+        [(1, "image", png, 999, 888), (2, "image", b"not-an-image", 640, 480)],
+        "blob_id long, media_type string, payload binary, "
+        "meta_width int, meta_height int",
+    )
+    rows = {r["blob_id"]: r for r in extract_media_features(blobs).collect()}
+    decode = _image_decoder()
+    if decode is not None:
+        assert decode(png) == (7, 5)  # the decoder itself, driver-side
+        assert (rows[1]["width"], rows[1]["height"]) == (7, 5)
+    else:
+        assert (rows[1]["width"], rows[1]["height"]) == (999, 888)
+    # an undecodable payload falls back to metadata in BOTH worlds
+    assert (rows[2]["width"], rows[2]["height"]) == (640, 480)
+    assert rows[1]["n_bytes"] == len(png)
+
+
 def test_resize_media_plan(spark, sf_dir):
     from sabd_deduplicator_spark.sources.multimodal import resize_media_plan
 
