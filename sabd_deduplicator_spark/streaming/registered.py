@@ -266,6 +266,54 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_attribution_join",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+        "p.user_id AS user_id, "
+        "strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, "
+        "strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, "
+        "p.value AS amount "
+        "FROM events p JOIN events c ON p.event_type = 'purchase' "
+        "AND c.event_type = 'click' AND p.user_id = c.user_id "
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR"
+    ),
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (attribution), drained and value-checked —
+    the last streaming capability class now carries a full oracle. Two
+    readStream sources over the same staged directory (clicks / purchases),
+    watermarked, time-range-joined; state is partitioned by user_id and the
+    watermark bounds per-key state to the join window in production.
+
+    Registerable because drained inner-join emission is deterministic as
+    long as no row is dropped as late: the staged replay is maximally
+    disordered (random file split), so the watermark delay is set beyond the
+    whole replayed span — no eviction during the drain, making the result
+    exactly the batch join (tests/test_streaming.py asserts the same
+    equivalence at an aggressive delay). Timestamps are rendered as strings
+    so the NTZ-staged wall clock compares stably in both engines."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.streaming.join_stream import streaming_attribution
+
+    # 2 staged files → 2 micro-batches per side: cross-batch join state is
+    # genuinely exercised (purchases in batch 2 match clicks buffered from
+    # batch 1) at half the per-batch state-commit bill of deeper splits.
+    staged = _stage(table(spark, sf_dir, "events"), n_files=2)
+    joined = streaming_attribution(spark, staged, watermark_delay="90 days")
+    drained = _drain(joined, "append")
+    return drained.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "amount",
+    )
+
+
+@query(
     "streaming_refcount_complete",
     oracle="SELECT md5(text) AS hash, count(*) AS refs_num FROM documents GROUP BY 1",
 )
