@@ -177,25 +177,38 @@ def _profile_oracle() -> str:
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling catalog op (per-column null count, distinct count,
     min/max) — the stats pass behind data-quality dashboards and CBO-style
-    size estimates. ONE scan + one aggregate row computes every column's
-    stats (the oracle's UNION-of-scans shape is the naive plan this
-    replaces); stack() unpivots the row to (col, stats) long form. min/max
+    size estimates. One branch per column: groupBy(value) → count, then one
+    tiny final agg derives n_nulls (sum of null-group counts), n_distinct
+    (non-null group count), and rendered min/max from the GROUPED set.
+
+    Why not 5 countDistinct in one agg: Spark plans multiple distinct
+    aggregates via Expand (one duplicated row per distinct-agg per input
+    row — 5× the scan in flight, measured a stable 3.5 s here vs ~1.0 s for
+    this shape). The per-column branches read the same total bytes (parquet
+    column pruning gives each branch exactly one column), partial aggregation
+    collapses duplicates map-side so each shuffle carries only distinct
+    values, and the branches are independent stages that overlap. min/max
     render through engine-identical string forms (decimal for money)."""
     o = catalog.table(spark, sf_dir, "orders")
-    aggs = []
+    branches = []
     for c, render, _ in _PROFILE_COLS:
         srender = render.replace("VARCHAR", "STRING")  # Spark spells it STRING
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.expr(srender.format(c=f"min({c})")).alias(f"{c}__min"),
-            F.expr(srender.format(c=f"max({c})")).alias(f"{c}__max"),
-        ]
-    one = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c, _, _ in _PROFILE_COLS
-    )
-    return one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct, min_v, max_v)"
-    )
+        g = o.groupBy(F.col(c).alias("v")).agg(F.count("*").alias("n"))
+        branches.append(
+            g.agg(
+                F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.sum(F.when(F.col("v").isNull(), 0).otherwise(1))
+                .cast("long")
+                .alias("n_distinct"),
+                F.expr(srender.format(c="min(v)")).alias("min_v"),
+                F.expr(srender.format(c="max(v)")).alias("max_v"),
+            ).select(
+                F.lit(c).alias("col"), "n_nulls", "n_distinct", "min_v", "max_v"
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
