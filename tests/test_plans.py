@@ -33,6 +33,36 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir):
     assert offenders == []
 
 
+def test_profile_avoids_expand(spark, sf_dir):
+    """Multi-distinct profiling must stay on per-column groupBy branches —
+    an Expand node means Spark re-planned it as the 5x-duplicated-rows
+    multi-distinct aggregate (measured 3.5x slower at sf0.1)."""
+    assert "Expand" not in formatted_plan(q("table_profile_orders", spark, sf_dir))
+
+
+def test_winnow_is_single_arrow_eval(spark, sf_dir):
+    """The winnow kernel must reach Spark as ONE ArrowEvalPython over the
+    filtered scan (vectorized Rabin-Karp), never BatchEvalPython."""
+    import re
+
+    plan = formatted_plan(q("text_winnow_fingerprint", spark, sf_dir))
+    # formatted plans name each node twice (tree line + detail header)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow: no shuffle anywhere
+
+
+def test_q1_aggregates_on_longs(spark, sf_dir):
+    """q1's hot path must sum LONGS (exact cents), not Decimals — the
+    decimal descale belongs in the post-agg projection only."""
+    plan = formatted_plan(q("q1_pricing_summary", spark, sf_dir))
+    import re
+
+    partials = re.findall(r"partial_sum\([^)]*\)", plan)
+    assert partials, "expected partial sums in q1 plan"
+    assert not any("decimal" in p.lower() for p in partials), partials
+
+
 def test_dimension_joins_broadcast(spark, sf_dir):
     """customer/nation/region joins must be broadcast: the orders fact table
     never shuffles for the join."""

@@ -75,9 +75,23 @@ HEADLINERS = {
         "single-partition window only ranks survivors."
     ),
     "table_profile_orders": (
-        "Single-pass profiling. Expect: ONE scan of orders + expand for the "
-        "multi-distinct aggregate + final one-row aggregate, then the stack "
-        "Generate — not one scan per column like the naive UNION plan."
+        "Column profiling. Expect: one groupBy-value branch per column "
+        "(partial HashAggregate collapses duplicates map-side, the shuffle "
+        "carries only distinct values) unioned into the report — NOT the "
+        "multi-distinct Expand plan (5x duplicated rows in flight; measured "
+        "3.5x slower) and NOT 5 unpruned scans (each branch's ReadSchema is "
+        "exactly one column)."
+    ),
+    "q1_pricing_summary": (
+        "Canonical wide aggregate. Expect: one scan, partial+final "
+        "HashAggregate over LONG sums (exact integer cents/basis-points — "
+        "no Decimal aggregation buffers in the hot path), the decimal "
+        "descale + double cast only in the post-agg Project."
+    ),
+    "text_winnow_fingerprint": (
+        "The one sanctioned Python hot loop. Expect: narrow scan + codegen "
+        "length filter, then a single ArrowEvalPython (vectorized "
+        "Rabin-Karp kernel) — no BatchEvalPython, no shuffle."
     ),
     "q8_market_share": (
         "Q8 shape. Expect: every dimension chain (part type, supplier→"
