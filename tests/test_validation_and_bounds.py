@@ -131,6 +131,43 @@ def test_unicode_chunking_counts_chars_not_bytes(spark):
     assert total == len(text.encode("utf-8"))  # sizes sum to BYTE length
 
 
+def test_winnow_kernel_matches_pure_python_reference():
+    """The vectorized numpy Rabin-Karp winnow kernel must agree with a
+    straightforward pure-Python evaluation of the same polynomial for
+    arbitrary unicode inputs (the parity corpus is ASCII-only, so this is
+    the unicode/codepoint coverage: multi-byte chars, astral plane)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sabd_deduplicator_spark.operators.text import (
+        _WINNOW_MASK63,
+        _WINNOW_POWS,
+        WINNOW_W,
+        _winnow_min_hash_kernel,
+    )
+
+    def reference(t: str) -> int:
+        best = None
+        for i in range(len(t) - WINNOW_W + 1):
+            h = 0
+            for j in range(WINNOW_W):
+                h = (h + ord(t[i + j]) * _WINNOW_POWS[j]) % (1 << 64)
+            h &= _WINNOW_MASK63
+            best = h if best is None or h < best else best
+        return best
+
+    # surrogate range is unencodable in UTF-32; hypothesis text() excludes it
+    texts = st.text(min_size=WINNOW_W, max_size=80)
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(t):
+        got = _winnow_min_hash_kernel([t])
+        assert int(got.iloc[0]) == reference(t)
+
+    check()
+
+
 def test_approx_count_distinct_error_bound(spark, sf_dir):
     from sabd_deduplicator_spark.catalog import table
 
