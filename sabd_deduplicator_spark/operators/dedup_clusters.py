@@ -169,6 +169,64 @@ def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_components_cte() -> str:
+    """Recursive-CTE transitive closure over the embedding near-dup pairs
+    (the embedding analogue of `_components_cte`), reusing the registered
+    `embedding_neardup_pairs` oracle so the edge set is definitionally
+    identical in both dialects."""
+    return (
+        "pairs AS (" + registry.ORACLES["embedding_neardup_pairs"] + "), "
+        "und AS (SELECT vec_a AS u, vec_b AS v FROM pairs "
+        "        UNION ALL SELECT vec_b, vec_a FROM pairs), "
+        "reach(u, v) AS ("
+        "  SELECT u, v FROM und "
+        "  UNION "
+        "  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u), "
+        "comp AS (SELECT u AS vec_id, least(u, min(v)) AS component_id "
+        "         FROM reach GROUP BY u)"
+    )
+
+
+@query(
+    "semantic_dedup_corpus",
+    oracle=(
+        "WITH RECURSIVE " + _embedding_components_cte() + " "
+        "SELECT e.vec_id, COALESCE(c.component_id, e.vec_id) AS canonical_vec_id, "
+        "CAST(CASE WHEN e.vec_id <> COALESCE(c.component_id, e.vec_id) "
+        "THEN 1 ELSE 0 END AS INT) AS is_dup "
+        "FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id"
+    ),
+)
+def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540: near-duplicate semantics live in embedding space, not
+    token space): connected components over the embedding-cosine near-dup
+    graph (`embedding_neardup_pairs`, tiled-BLAS candidate generation), each
+    vector mapped to its cluster's canonical representative (min vec_id —
+    the same first-occurrence rule as the reference's chunk dedup). Output
+    is the per-vector keep/drop verdict a curation pipeline consumes:
+    (vec_id, canonical_vec_id, is_dup). Complements the token-space
+    pipeline (`corpus_canonical_docs`): text near-dup catches copies with
+    shared surface form; embedding near-dup catches paraphrases. Same scale
+    posture as neardup_components — constant shuffles per CC round,
+    diameter-bounded rounds, lineage truncated per round."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = registry.QUERIES["embedding_neardup_pairs"](spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    ).union(pairs.select(F.col("vec_b").alias("u"), F.col("vec_a").alias("v")))
+    comp = connected_components(edges).withColumnRenamed("u", "vec_id")
+    return e.join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component_id", "vec_id").alias("canonical_vec_id"),
+        (F.col("vec_id") != F.coalesce("component_id", "vec_id"))
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
 @query(
     "deterministic_sample_docs",
     oracle=(
