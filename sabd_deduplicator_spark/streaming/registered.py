@@ -200,7 +200,13 @@ def streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     sessions = sessionize_stream(ev, gap_seconds=_SESSION_GAP)
-    drained = _drain(sessions, "append").filter(F.col("closed_by") == "gap")
+    # single micro-batch (n_files=1) → the per-batch state-commit fan-out
+    # that made 8 partitions right for the multi-batch drains doesn't apply;
+    # full-width partitions parallelize the pandas state function instead
+    # (measured 4.1 s → 3.4 s warm at sf0.1)
+    drained = _drain(sessions, "append", state_partitions=32).filter(
+        F.col("closed_by") == "gap"
+    )
     return drained.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
