@@ -49,11 +49,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     node that appears in `edges` (isolated nodes are the caller's coalesce).
     Deterministic: component_id = min node id reachable from u.
     """
-    nodes = edges.select("u").union(edges.select(F.col("v").alias("u"))).distinct()
-    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
-    # disambiguated copy of the edge list: labels/edges share lineage (labels
-    # is derived from edges), so joins between them need distinct attributes
+    # Checkpoint the edge list FIRST and derive nodes/labels from the
+    # checkpointed copy: both initial checkpoints used to carry the full
+    # edge lineage, so the (expensive) near-dup pair derivation executed
+    # TWICE per clustering call (measured ~2 s of the init cost at sf0.1).
+    # The aliased columns also disambiguate the labels⋈edges joins below.
     ev = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")).localCheckpoint()
+    nodes = ev.select(F.col("eu").alias("u")).union(
+        ev.select(F.col("ev").alias("u"))
+    ).distinct()
+    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
     # Convergence check without a join: min-label propagation is MONOTONE
     # (a node's label can only decrease), so the label-sum strictly decreases
     # every round until the fixpoint — one map-side-combined aggregate per
