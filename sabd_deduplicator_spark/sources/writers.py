@@ -50,6 +50,39 @@ def save_bucketed_table(
     )
 
 
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", compression: str | None = None
+) -> None:
+    """Format-agnostic sink over Spark's native formats (parquet/orc for
+    columnar interchange, json/csv for text interchange). Default codecs:
+    zstd for the columnar pair, gzip for the text pair (zstd is not a
+    universal text-source codec). ORC matters for interchange with
+    Hive/Trino estates; it shares parquet's pruning/pushdown behavior in
+    Spark, so the engine's scan discipline carries over unchanged."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    codec = compression or ("zstd" if fmt in ("parquet", "orc") else "gzip")
+    w = df.write.mode("overwrite").option("compression", codec)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema: str | None = None):
+    """Format-agnostic source matching `write_table`. For the text formats a
+    schema string is required to round-trip types (csv/json carry no type
+    system worth trusting); columnar formats self-describe."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.format(fmt).load(path)
+
+
 def append_if_absent(
     new_rows: DataFrame, existing: DataFrame, key: str, path: str,
     compression: str = "zstd",

@@ -132,6 +132,31 @@ def test_decode_stub_raises(spark):
         _decode_image(b"not-an-image")
 
 
+def test_format_roundtrip_all_native_formats(spark, sf_dir, tmp_path):
+    """write_table/read_table round-trip the documents table through every
+    native format with values preserved. Columnar formats (parquet, orc)
+    self-describe; the text formats need the explicit schema, and csv
+    needs its empty-string/null conflation worked around (documents.text
+    is never null, so the comparison is exact here)."""
+    from sabd_deduplicator_spark.sources.writers import FORMATS, read_table, write_table
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+    schema = "doc_id bigint, text string, lang string, n_chars bigint"
+    expected = [tuple(r) for r in src.collect()]
+    for fmt in FORMATS:
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(src, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=schema).select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == sorted(expected), f"roundtrip mismatch for {fmt}"
+
+
 def _tiny_png(width: int, height: int) -> bytes:
     """A minimal valid grayscale PNG built from stdlib only (no fixture):
     signature + IHDR + one zlib-deflated IDAT (all-zero scanlines) + IEND."""
