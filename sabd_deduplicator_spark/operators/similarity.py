@@ -484,57 +484,128 @@ def _lsh_planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
-def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = N_PLANES
-) -> DataFrame:
-    """Add an n_planes-bit signed-random-projection bucket id. Pure
-    expressions — per-row, zero shuffle; the bucket becomes the
-    shuffle/partition key for candidate generation."""
-    planes = _lsh_planes(n_planes)
-    bucket = F.lit(0)
-    for p, row in enumerate(planes):
-        arr = "array(" + ", ".join(f"{w}D" for w in row) + ")"
-        dot = F.expr(_DOT.format(a=vec_col, b=arr))
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
-    return df.withColumn("bucket", bucket.cast("int"))
+LSH_PROBES = 3  # Hamming-1 probe buckets per query (flip lowest-|margin| bits)
+
+
+def lsh_top1(e: DataFrame, n_planes: int, probes: int = LSH_PROBES) -> DataFrame:
+    """Multi-probe LSH top-1: every vector is a CANDIDATE in its home bucket
+    and a QUERY in its home bucket plus `probes` Hamming-1 neighbor buckets —
+    the buckets reached by flipping the hyperplane bits with the smallest
+    |margin| (query-directed multi-probe, Lv et al. VLDB'07). A near neighbor
+    lands in a different bucket precisely when one low-margin bit disagrees,
+    so probing those buckets recovers most of the recall a single-bucket scan
+    loses, at probes+1× query replication and unchanged candidate storage.
+
+    Scale shape: one shuffle routes (probes+1)·n query rows + n candidate
+    rows into 2^n_planes buckets of ~LSH_TARGET_BUCKET candidates each; one
+    BLAS gram per bucket scores it; a map-side-combining max-merge on a
+    packed (cos, ¬vec_b) long picks each vector's best across probes — no
+    window, deterministic (cos desc, vec_b asc) ties, same ordinal scheme as
+    knn_exact_top1."""
+    t = max(0, min(probes, n_planes))
+
+    def probe_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        pl = np.asarray(_lsh_planes(n_planes), dtype=np.float64)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for chunk in batches:
+            m = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
+            dots = m @ pl.T  # n × planes; sign = bit, |value| = margin
+            home = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
+            frames = [
+                pd.DataFrame(
+                    {
+                        "vec_id": chunk["vec_id"].to_numpy(),
+                        "embedding": chunk["embedding"],
+                        "bucket": home.astype("int32"),
+                        "is_cand": True,
+                        "is_query": True,
+                    }
+                )
+            ]
+            if t:
+                flip = np.argsort(np.abs(dots), axis=1)  # ascending margin
+                for i in range(t):
+                    probe = home ^ weights[flip[:, i]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": chunk["vec_id"].to_numpy(),
+                                "embedding": chunk["embedding"],
+                                "bucket": probe.astype("int32"),
+                                "is_cand": False,
+                                "is_query": True,
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True)
+
+    routed = e.mapInPandas(
+        probe_rows,
+        "vec_id long, embedding array<float>, bucket int, "
+        "is_cand boolean, is_query boolean",
+    )
+    id_mask = (1 << _KNN_ID_BITS) - 1
+
+    def bucket_best(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "ord": pd.Series(dtype="int64")}
+        )
+        cand = pdf[pdf["is_cand"].to_numpy()]
+        qry = pdf[pdf["is_query"].to_numpy()]
+        if len(cand) == 0 or len(qry) == 0:
+            return empty
+        c_order = np.argsort(cand["vec_id"].to_numpy())
+        c_ids = cand["vec_id"].to_numpy()[c_order]
+        cm = np.stack(cand["embedding"].to_numpy()[c_order]).astype(np.float64)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        q_ids = qry["vec_id"].to_numpy()
+        qm = np.stack(qry["embedding"].to_numpy()).astype(np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        g = np.round(qm @ cm.T, 6)
+        g[q_ids[:, None] == c_ids[None, :]] = -np.inf  # mask self-pairs
+        # first max over ids-ascending candidates → smallest vec_b on ties
+        j = np.argmax(g, axis=1)
+        best = g[np.arange(len(q_ids)), j]
+        ok = np.isfinite(best)  # drop queries whose only candidate was self
+        if not ok.any():
+            return empty
+        c6 = np.round(best[ok] * 1e6).astype(np.int64) + _COS_SHIFT
+        ord_ = (c6 << _KNN_ID_BITS) | (id_mask - c_ids[j[ok]])
+        return pd.DataFrame({"vec_a": q_ids[ok], "ord": ord_})
+
+    merged = (
+        routed.groupBy("bucket")
+        .applyInPandas(bucket_best, "vec_a long, ord long")
+        .groupBy("vec_a")
+        .agg(F.max("ord").alias("ord"))
+    )
+    return merged.select(
+        "vec_a",
+        (F.lit(id_mask) - F.col("ord").bitwiseAND(F.lit(id_mask))).alias("vec_b"),
+        (
+            (F.shiftright("ord", _KNN_ID_BITS) - F.lit(_COS_SHIFT)).cast("double")
+            / 1e6
+        ).alias("cos"),
+    )
 
 
 @query("ann_lsh_topk")  # approximate by construction → rows-only driver check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-1 neighbor per vector, candidates restricted to the same
-    LSH bucket. This is the plan that survives 100×: planes are sized so
-    buckets hold ~LSH_TARGET_BUCKET vectors regardless of corpus size, one
-    shuffle groups each bucket, and a single BLAS gram matrix per bucket
-    scores it (the interpreted per-pair aggregate/zip_with expression this
-    replaces measured ~30× slower — PERF.md)."""
+    """ANN top-1 neighbor per vector via multi-probe hyperplane LSH
+    (lsh_top1). Planes are sized so buckets hold ~LSH_TARGET_BUCKET vectors
+    regardless of corpus size; each query additionally probes LSH_PROBES
+    Hamming-1 buckets chosen by hyperplane margin. Measured on the clustered
+    fixture (tests/test_ann_clustered.py) this lifts top-1 recall from the
+    single-bucket ~0.5 to >0.9; on the near-uniform driver corpus the
+    ann_recall_vs_exact report tracks the (structurally lower) number."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_planes = lsh_planes_for(e.count())
-    e = with_lsh_bucket(e, n_planes=n_planes)
-
-    def bucket_top1(pdf):
-        import numpy as np
-        import pandas as pd
-
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
-            )
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[order]
-        m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        g = np.round(m @ m.T, 6)
-        np.fill_diagonal(g, -np.inf)
-        # argmax returns the FIRST max; ids ascending → smallest vec_b wins
-        # ties, matching the (cos desc, vec_b) total order of the old window
-        j = np.argmax(g, axis=1)
-        return pd.DataFrame(
-            {"vec_a": ids, "vec_b": ids[j], "cos": g[np.arange(len(ids)), j]}
-        )
-
-    return e.groupBy("bucket").applyInPandas(
-        bucket_top1, "vec_a long, vec_b long, cos double"
-    )
+    return lsh_top1(e, n_planes=lsh_planes_for(e.count()), probes=LSH_PROBES)
 
 
 # --- 3b. IVF (inverted-file) ANN — the other scale path ---------------------
@@ -627,21 +698,28 @@ def train_ivf_centroids(
     return out
 
 
-@query("ann_ivf_topk")  # approximate by construction → rows-only driver check
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: coarse-quantize every vector to its nearest centroid
-    (one blocked matmul), then search ONLY the query's IVF_PROBES nearest
-    cells with exact cosine. Top-10 for the query vector (vec_id 0).
+def ivf_scored_candidates(
+    spark: SparkSession,
+    e: DataFrame,
+    probes: int = IVF_PROBES,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """Shared IVF search core: train/reuse the coarse quantizer, assign every
+    vector to its nearest centroid cell (narrow zero-shuffle blocked matmul),
+    and return exact-cosine scores of every candidate in the query's `probes`
+    nearest cells, with `cell_pos` = rank of the candidate's cell in the
+    query's probe order. A probe-count SWEEP then needs no re-scoring:
+    filtering `cell_pos < p` reproduces exactly the candidate set a p-probe
+    search would score, because probe sets are nested prefixes of the same
+    centroid-similarity order.
 
-    At 100 TB: the assignment pass is narrow/zero-shuffle, the inverted file
-    is a partitioned table keyed by cell, and a query touches ~PROBES/CLUSTERS
-    of the corpus. Complements LSH (ann_lsh_topk): IVF adapts to the data
-    distribution via trained centroids; LSH needs no training."""
+    At 100 TB: assignment is the narrow pass, the inverted file is a
+    partitioned table keyed by cell, and a query touches ~probes/CLUSTERS of
+    the corpus. Query = vec_id 0 (the registered probe convention)."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = train_ivf_centroids(e, memo_key=sf_dir)
+    cents = train_ivf_centroids(e, memo_key=memo_key)
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(batches):
@@ -665,7 +743,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = e.filter(F.col("vec_id") == 0).first()
     q = np.asarray(qrow["embedding"], dtype=np.float64)
     q /= np.linalg.norm(q)
-    probe_cells = [int(c) for c in np.argsort(-(cents @ q))[:IVF_PROBES]]
+    probe_cells = [int(c) for c in np.argsort(-(cents @ q))[:probes]]
+    pos_of = {c: i for i, c in enumerate(probe_cells)}
     cand = assigned.filter(
         F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0)
     )
@@ -673,6 +752,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         qv = qb.value
+        pos = pos_of
         for chunk in batches:
             a = np.stack(chunk["embedding"].to_numpy()).astype(np.float64)
             an = a / np.linalg.norm(a, axis=1, keepdims=True)
@@ -680,59 +760,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "vec_id": chunk["vec_id"],
                     "cell": chunk["cell"],
+                    "cell_pos": chunk["cell"].map(pos).astype("int32"),
                     "cos": np.round(an @ qv, 6),
                 }
             )
 
-    scored = cand.mapInPandas(score, "vec_id long, cell int, cos double")
+    return cand.mapInPandas(
+        score, "vec_id long, cell int, cell_pos int, cos double"
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    probes: int = IVF_PROBES,
+    k: int = 10,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """Top-k of the IVF candidate scores, scale-safe: the k-th value comes
+    from TakeOrderedAndProject (per-partition top-k merged on the driver), a
+    broadcast prefilter keeps only rows ≥ it, and the rank window runs over
+    that handful of survivors only."""
+    scored = ivf_scored_candidates(spark, e, probes=probes, memo_key=memo_key)
     kth = (
         scored.orderBy(F.desc("cos"), "vec_id")
-        .limit(10)
+        .limit(k)
         .agg(F.min("cos").alias("kth"))
     )
     survivors = scored.join(broadcast(kth), scored.cos >= kth.kth)
     w = Window.orderBy(F.desc("cos"), "vec_id")
     return (
         survivors.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        .filter(F.col("rn") <= k)
         .select("vec_id", "cell", "cos")
     )
 
 
+@query("ann_ivf_topk")  # approximate by construction → rows-only driver check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    (one blocked matmul), then search ONLY the query's IVF_PROBES nearest
+    cells with exact cosine. Top-10 for the query vector (vec_id 0).
+    Complements LSH (ann_lsh_topk): IVF adapts to the data distribution via
+    trained centroids; LSH needs no training. Recall vs the exact scan is
+    MEASURED per probe count in ann_recall_vs_exact and floored on the
+    clustered fixture (tests/test_ann_clustered.py)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_topk(spark, e, probes=IVF_PROBES, k=10, memo_key=sf_dir)
+
+
 # --- 3c. ANN quality report: measured recall vs the exact scan --------------
+
+
+IVF_PROBE_SWEEP = (1, 2, 4, 8)  # nested prefixes of the probe order
 
 
 @query("ann_recall_vs_exact")  # quality metric over approximate paths → rows-only
 def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of each ANN path against the exact scans, so the
     approximate queries carry a quantified quality number, not just row
-    counts (round-2 verdict, next-round item 7). One row per (method, k):
+    counts. One row per (method, k, probes):
 
-    - ann_lsh_topk @ k=1: per-vector — a hit is "the LSH neighbor is at
-      least as close as the exact top-1" (cos within 1e-9; tie-robust).
-      A vector with no LSH row (singleton bucket) counts as a miss.
-    - ann_ivf_topk @ k=1: the single registered probe query (vec_id 0),
-      scored on its best-returned candidate vs the exact top-1.
-    - ann_ivf_topk @ k=10: set overlap of the IVF top-10 with the exact
-      cosine top-10 (similarity_topk_cosine) — the same metric the
-      regression gate in tests/test_validation_and_bounds.py floors.
+    - ann_lsh_topk @ k=1 (probes=LSH_PROBES): per-vector — a hit is "the
+      multi-probe LSH neighbor is at least as close as the exact top-1"
+      (cos within 1e-9; tie-robust). A vector with no LSH row counts as a
+      miss.
+    - ann_ivf_topk @ k=1 (probes=IVF_PROBES): the single registered probe
+      query (vec_id 0), scored on its best candidate vs the exact top-1.
+    - ann_ivf_topk @ k=10 for each probes in IVF_PROBE_SWEEP: set overlap
+      of the p-probe IVF top-10 with the exact cosine top-10. The sweep is
+      FREE beyond the widest search: ivf_scored_candidates scores the
+      max(sweep)-probe candidate set once (localCheckpoint pins it), and
+      `cell_pos < p` reproduces each narrower probe set exactly because
+      probe sets are nested prefixes of the centroid-similarity order.
 
-    Context for reading the numbers: these synthetic embeddings are
-    near-uniform, so recall is structurally low (LSH@1 chance baseline is
-    ~1/2^planes for near-orthogonal neighbors; IVF@10 probes 4/16 cells
-    blind ⇒ 0.25 chance). On real clustered embeddings both rise with data
-    structure and the planes/probes dials. The value of this query is that
-    the number is MEASURED and tracked, not assumed."""
+    Context for reading the numbers: the driver's synthetic embeddings are
+    near-uniform, so recall is structurally low there (IVF@10 probing p/16
+    cells blind ⇒ ~p/16 chance; the sweep rows show exactly that linear
+    climb). On clustered data the same operators reach recall ≥ 0.9 — that
+    is MEASURED, not assumed, in tests/test_ann_clustered.py over a planted
+    16-cluster fixture."""
     eps = 1e-9
     exact = knn_exact_top1(spark, sf_dir)  # vec_a, vec_b, cos (exact top-1)
 
-    def _stats(method: str, k: int, joined, hit_col):
+    def _stats(method: str, k: int, probes: int, joined, hit_col):
         return joined.agg(
             F.count("*").alias("n_queries"),
             F.sum(hit_col.cast("long")).alias("n_hits"),
         ).select(
             F.lit(method).alias("method"),
             F.lit(k).alias("k"),
+            F.lit(probes).alias("probes"),
             "n_queries",
             "n_hits",
             F.round(F.col("n_hits").cast("double") / F.col("n_queries"), 6).alias(
@@ -746,32 +864,52 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_stats = _stats(
         "ann_lsh_topk",
         1,
+        LSH_PROBES,
         exact.join(lsh, "vec_a", "left"),
         F.coalesce(F.col("ann_cos"), F.lit(-2.0)) >= F.col("cos") - eps,
     )
 
-    ivf = ann_ivf_topk(spark, sf_dir)
-    ivf_stats = _stats(
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one scoring pass at the widest probe count serves every sweep row;
+    # localCheckpoint pins the (small: ≤ max(sweep)/CLUSTERS of the corpus)
+    # candidate scores so the 5 consumers below don't re-run assignment
+    scored = ivf_scored_candidates(
+        spark, e, probes=max(IVF_PROBE_SWEEP), memo_key=sf_dir
+    ).localCheckpoint()
+    exact10 = similarity_topk_cosine(spark, sf_dir).select(
+        "vec_id"
+    ).localCheckpoint()  # 10 rows, reused per sweep row
+
+    ivf_default = scored.filter(F.col("cell_pos") < IVF_PROBES)
+    ivf1_stats = _stats(
         "ann_ivf_topk",
         1,
+        IVF_PROBES,
         exact.filter(F.col("vec_a") == 0).join(
-            ivf.agg(F.max("cos").alias("ann_cos"))
+            ivf_default.agg(F.max("cos").alias("ann_cos"))
         ),
         F.col("ann_cos") >= F.col("cos") - eps,
     )
 
-    exact10 = similarity_topk_cosine(spark, sf_dir).select("vec_id")
-    ivf10_stats = _stats(
-        "ann_ivf_topk",
-        10,
-        exact10.join(
-            ivf.select(F.col("vec_id").alias("ivf_id")),
-            F.col("vec_id") == F.col("ivf_id"),
-            "left",
-        ),
-        F.col("ivf_id").isNotNull(),
-    )
-    return lsh_stats.unionByName(ivf_stats).unionByName(ivf10_stats)
+    def ivf10_stats(p: int):
+        topk = (
+            scored.filter(F.col("cell_pos") < p)
+            .orderBy(F.desc("cos"), "vec_id")
+            .limit(10)
+            .select(F.col("vec_id").alias("ivf_id"))
+        )
+        return _stats(
+            "ann_ivf_topk",
+            10,
+            p,
+            exact10.join(topk, F.col("vec_id") == F.col("ivf_id"), "left"),
+            F.col("ivf_id").isNotNull(),
+        )
+
+    out = lsh_stats.unionByName(ivf1_stats)
+    for p in IVF_PROBE_SWEEP:
+        out = out.unionByName(ivf10_stats(p))
+    return out
 
 
 # --- 4. Banded MinHash (native; rows-only) ---------------------------------

@@ -1,0 +1,100 @@
+"""ANN quality on data WITH structure (round-3 verdict, next-round item 1).
+
+The driver's synthetic embeddings are near-uniform, so the registered
+ann_recall_vs_exact numbers are structurally low there and prove nothing
+about the operators. This fixture plants 16 well-separated Gaussian clusters
+over the same 64-dim float32 schema and demands the approximate paths reach
+high recall when structure exists — the regime real embedding corpora live
+in (σ=0.05 around unit centroids ⇒ intra-cluster cos ≈ 0.86, inter-cluster
+cos ≈ N(0, 1/64)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+N, K, DIM, SIGMA = 1200, 16, 64, 0.05
+
+
+@pytest.fixture(scope="module")
+def clustered(tmp_path_factory):
+    """Deterministic planted-cluster corpus written as {dir}/embeddings.parquet
+    (the catalog's table layout), plus numpy ground truth."""
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(K, DIM))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    labels = np.arange(N) % K
+    pts = (cents[labels] + SIGMA * rng.normal(size=(N, DIM))).astype(np.float32)
+
+    d = tmp_path_factory.mktemp("ann_clustered")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(N), type=pa.int64()),
+                "embedding": pa.array(
+                    pts.tolist(), type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels.astype(np.int32), type=pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    # exact ground truth in numpy, rounded like the operators (1e-6)
+    x = pts.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    g = np.round(x @ x.T, 6)
+    np.fill_diagonal(g, -np.inf)
+    return str(d), g
+
+
+def test_ivf_recall_clustered(spark, clustered):
+    """IVF top-10 for the registered probe query (vec_id 0) must recover
+    ≥ 0.8 of the exact top-10 when clusters exist (expected ~1.0: the
+    trained cells align with the planted clusters and the query's own cell
+    is always probed first)."""
+    from sabd_deduplicator_spark.operators.similarity import ann_ivf_topk
+
+    d, g = clustered
+    exact10 = set(np.argsort(-g[0])[:10].tolist())
+    ivf10 = {r["vec_id"] for r in ann_ivf_topk(spark, d).collect()}
+    recall = len(exact10 & ivf10) / 10
+    assert recall >= 0.8, f"clustered IVF recall@10 = {recall}"
+
+
+def test_ivf_probe_sweep_monotone_clustered(spark, clustered):
+    """More probes ⇒ recall must not drop (nested candidate sets), and one
+    probe already suffices on clustered data (the query's home cell holds
+    its cluster)."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.similarity import ivf_topk
+
+    d, g = clustered
+    exact10 = set(np.argsort(-g[0])[:10].tolist())
+    e = table(spark, d, "embeddings").select("vec_id", "embedding")
+    recalls = []
+    for p in (1, 4):
+        got = {r["vec_id"] for r in ivf_topk(spark, e, probes=p, memo_key=d).collect()}
+        recalls.append(len(exact10 & got) / 10)
+    assert recalls[0] >= 0.8, f"1-probe clustered recall@10 = {recalls[0]}"
+    assert recalls[1] >= recalls[0]
+
+
+def test_lsh_multiprobe_recall_clustered(spark, clustered):
+    """Multi-probe LSH top-1 over every vector: a hit is an LSH neighbor at
+    least as close as the exact nearest neighbor (tie-robust). Clustered
+    recall must clear 0.8 — the single-bucket scan loses neighbors exactly
+    when one low-margin hyperplane splits a cluster, which the Hamming-1
+    probes recover."""
+    from sabd_deduplicator_spark.operators.similarity import ann_lsh_topk
+
+    d, g = clustered
+    best_cos = g.max(axis=1)  # exact top-1 cosine per vector
+    got = {r["vec_a"]: r["cos"] for r in ann_lsh_topk(spark, d).collect()}
+    hits = sum(
+        1 for v in range(N) if got.get(v, -2.0) >= best_cos[v] - 1e-9
+    )
+    recall = hits / N
+    assert recall >= 0.8, f"clustered multi-probe LSH recall@1 = {recall}"
