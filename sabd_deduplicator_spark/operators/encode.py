@@ -179,12 +179,24 @@ def validate_tokens(
 FILE_WIDTH = 6  # digits for the file id in a global pointer
 
 
+def required_file_width(chunks: DataFrame, file_col: str = "doc_id") -> int:
+    """Smallest file_width whose global encoding cannot overflow this corpus:
+    the digit count of max(file id). Same one-scalar-aggregation shape as
+    required_pointer_width — cheap at any scale. Use file_width=None in
+    encode_chunks_global to apply it automatically (a >10^6-file corpus no
+    longer raises at the default width; round-3 verdict item 2)."""
+    max_file = chunks.agg(F.max(file_col)).first()[0]
+    if max_file is None:
+        return 1
+    return max(1, len(str(int(max_file))))
+
+
 def encode_chunks_global(
     chunks: DataFrame,
     file_col: str = "doc_id",
     algorithm: str = "md5",
-    file_width: int = FILE_WIDTH,
-    pointer_width: int = POINTER_WIDTH,
+    file_width: int | None = FILE_WIDTH,
+    pointer_width: int | None = POINTER_WIDTH,
 ) -> DataFrame:
     """Cross-file dedup encode: the reference's index is GLOBAL (one
     hash_links table across all files, hash.ex:50-54), so a repeat in any
@@ -199,7 +211,13 @@ def encode_chunks_global(
     hash's first (file, line). A hot hash (highly duplicated content) makes
     the join skewed on that key — AQE skew-join splitting is the defense
     (the aggregate side is immune: partial agg collapses map-side).
-    Overflow of either width raises (same contract as encode_chunks)."""
+    Overflow of either width raises (same contract as encode_chunks); pass
+    file_width=None / pointer_width=None to auto-size each dimension from
+    the corpus (required_file_width / required_pointer_width)."""
+    if file_width is None:
+        file_width = required_file_width(chunks, file_col=file_col)
+    if pointer_width is None:
+        pointer_width = required_pointer_width(chunks)
     hashed = chunks.withColumn("hash", content_hash("chunk", algorithm))
     links = build_hash_links(
         chunks, file_col=file_col, algorithm=algorithm
@@ -267,6 +285,66 @@ def decode_tokens_global(
         F.col("l.chunk").alias("chunk"),
     )
     return literals.unionByName(resolved)
+
+
+def validate_tokens_global(
+    tokens: DataFrame,
+    file_col: str = "doc_id",
+    file_width: int = FILE_WIDTH,
+    pointer_width: int = POINTER_WIDTH,
+) -> DataFrame:
+    """Malformed-stream detection for the GLOBAL grammar (round-3 verdict
+    item 3 — validate_tokens covers only per-file pointers). One row per
+    invalid token; empty result = valid stream.
+
+      bad_marker        token starts with neither '0' nor '1'
+      bad_pointer       payload is not exactly file_width+pointer_width
+                        digits, or either fixed-width slice fails an
+                        integer parse
+      dangling_pointer  the decoded (file, line) target has no literal —
+                        including a CROSS-FILE pointer at a file id that
+                        does not exist, and pointer→pointer chains
+
+    Same set-at-a-time shape as validate_tokens: marker/width checks are
+    narrow scans; the dangling check is one left-anti equi-join against the
+    literal set on the decoded (file, line) pair."""
+    is_literal = F.col("token").startswith(LITERAL)
+    is_pointer = F.col("token").startswith(POINTER)
+    marker_bad = tokens.filter(~is_literal & ~is_pointer).select(
+        file_col, "line", "token", F.lit("bad_marker").alias("violation")
+    )
+    pf = F.expr(f"try_cast(substring(token, 2, {file_width}) AS BIGINT)")
+    pl = F.expr(
+        f"try_cast(substring(token, {2 + file_width}, {pointer_width}) AS BIGINT)"
+    )
+    pointer_bad = (
+        tokens.filter(is_pointer)
+        .filter(
+            (F.length("token") != file_width + pointer_width + 1)
+            | pf.isNull()
+            | pl.isNull()
+        )
+        .select(file_col, "line", "token", F.lit("bad_pointer").alias("violation"))
+    )
+    literals = tokens.filter(is_literal).select(
+        F.col(file_col).alias("_f"), F.col("line").alias("_l")
+    )
+    dangling = (
+        tokens.filter(is_pointer)
+        .filter(F.length("token") == file_width + pointer_width + 1)
+        .withColumn("pf", pf)
+        .withColumn("pl", pl)
+        .filter(F.col("pf").isNotNull() & F.col("pl").isNotNull())
+        .join(
+            literals,
+            on=[F.col("pf") == F.col("_f"), F.col("pl") == F.col("_l")],
+            how="left_anti",
+        )
+        .select(
+            file_col, "line", "token", F.lit("dangling_pointer").alias("violation")
+        )
+    )
+    return marker_bad.unionByName(pointer_bad).unionByName(dangling)
 
 
 ENCODE_GLOBAL_SQL = (

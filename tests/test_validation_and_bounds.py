@@ -90,6 +90,77 @@ def test_deduplicate_auto_sizes_pointer_width(spark):
     assert text.first().text == "ab" * 12 + "zz"
 
 
+def test_global_encode_auto_sizes_file_width(spark):
+    """A corpus whose file ids exceed 10^6 must round-trip with
+    file_width=None (auto-sized) where the default width raises — the file
+    dimension now has the same auto-sizing contract as the line dimension."""
+    from sabd_deduplicator_spark.operators.encode import (
+        decode_tokens_global,
+        encode_chunks_global,
+        required_file_width,
+    )
+
+    rows = [
+        (999_999, 0, "uniq-a"),
+        (1_000_000, 0, "dup"),      # first occurrence at a 7-digit file id:
+        (10_000_001, 0, "uniq-b"),  # pointers to it overflow file_width=6
+        (10_000_001, 1, "dup"),
+    ]
+    chunks = spark.createDataFrame(rows, "doc_id long, line long, chunk string")
+    with pytest.raises(Exception, match="global pointer overflow"):
+        encode_chunks_global(chunks).collect()  # default file_width=6
+    assert required_file_width(chunks) == 8
+    tokens = encode_chunks_global(chunks, file_width=None, pointer_width=None)
+    got = {
+        (r.doc_id, r.line): r.chunk
+        for r in decode_tokens_global(
+            tokens, file_width=8, pointer_width=1
+        ).collect()
+    }
+    assert got == {(f, l): c for f, l, c in rows}
+
+
+def test_validate_tokens_global_classifies_cross_file_faults(spark):
+    from sabd_deduplicator_spark.operators.encode import validate_tokens_global
+
+    rows = [
+        (0, 0, "0GOOD"),                 # literal
+        (5, 1, "1" + "000000" + "0000"),  # fine: → file 0 line 0
+        (0, 2, "2WAT"),                   # bad marker
+        (0, 3, "1" + "00000a" + "0000"),  # unparseable file slice
+        (0, 4, "1" + "000000" + "000"),   # wrong total width
+        (0, 5, "1" + "000007" + "0000"),  # cross-file dangling: no file 7
+        (1, 0, "1" + "000001" + "0001"),  # → (1,1) which is a pointer: dangling
+        (1, 1, "1" + "000001" + "0000"),  # → (1,0) which is a pointer: dangling
+    ]
+    tokens = spark.createDataFrame(rows, "doc_id long, line long, token string")
+    got = {
+        (r.doc_id, r.line): r.violation
+        for r in validate_tokens_global(tokens).collect()
+    }
+    assert got == {
+        (0, 2): "bad_marker",
+        (0, 3): "bad_pointer",
+        (0, 4): "bad_pointer",
+        (0, 5): "dangling_pointer",
+        (1, 0): "dangling_pointer",
+        (1, 1): "dangling_pointer",
+    }
+
+
+def test_valid_global_stream_has_no_violations(spark):
+    from sabd_deduplicator_spark.operators.encode import (
+        encode_chunks_global,
+        validate_tokens_global,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcdabcdXYZ"), (1, "abcdhello hello ")], "doc_id long, text string"
+    )
+    tokens = encode_chunks_global(chunk_fixed(docs, size=4))
+    assert validate_tokens_global(tokens).count() == 0
+
+
 def test_packed_ordinal_out_of_range_raises(spark):
     """build_hash_links packs (file_id, line) into one long; ids past the
     documented bits must raise, not silently link the wrong first
