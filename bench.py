@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -85,7 +86,9 @@ def main() -> None:
             # regions (measured: 0.6 s isolated vs 7 s mid-run).
             spark.sparkContext._jvm.System.gc()
         if runs:
-            med = sorted(runs)[len(runs) // 2]
+            # statistics.median averages the two middle samples for even rep
+            # counts (sorted()[n//2] biased the reported median high there)
+            med = round(statistics.median(runs), 3)
             per_query[name] = med
             per_query_runs[name] = runs
             total += med

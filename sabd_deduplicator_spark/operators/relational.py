@@ -378,19 +378,58 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal division, scale ≥ 6) → double (the one rounding)
         return (sum_col.cast("decimal(38,0)") / F.lit(10 ** k)).cast("double")
 
+    # Scale guard (advisor, round 4): sum(ext_c*disc1_c*tax1_c) accumulates
+    # ~1.5e17 per sf of lineitem, so a single long accumulator wraps around
+    # sf 30-40. Widening the aggregation itself to decimal costs the
+    # measured 5× per input row, and a two-stage (per-partition, then
+    # decimal merge) agg costs a second Exchange — so instead each product
+    # is split into three base-1e6 LIMBS summed independently as longs:
+    # every limb is < 1e6, so a limb sum stays under 2^63 up to ~9e12 rows
+    # per group (≈ sf 6,000,000), and the limbs recombine EXACTLY in
+    # decimal(38,0) post-aggregation (hi·1e12 + mid·1e6 + lo). Per-row
+    # products are < ~1.2e11 ≪ 2^53, so limb extraction's double division
+    # is exact. Plan shape is unchanged: one scan, one Exchange, long-only
+    # partial AND final sums (gated in tests/test_plans.py). The plain cent
+    # columns stay single long sums (qty_c < 5e3·100, ext_c < 1.1e7: safe
+    # past sf 5e5 ≈ 350 TB of lineitem).
+    _M = F.lit(10**6)
+
+    def limbs(col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+        lo = F.pmod(col, _M).cast("long")
+        rest = ((col - lo) / _M).cast("long")
+        mid = F.pmod(rest, _M).cast("long")
+        hi = ((rest - mid) / _M).cast("long")
+        return lo, mid, hi
+
+    def recombine(prefix: str) -> F.Column:
+        # decimal(38,0) is exact here: real magnitudes are ≤ ~1e17·sf ≪ 1e38
+        return (
+            F.col(f"{prefix}_hi").cast("decimal(38,0)") * F.lit(10**12)
+            + F.col(f"{prefix}_mid").cast("decimal(38,0)") * _M
+            + F.col(f"{prefix}_lo").cast("decimal(38,0)")
+        )
+
+    dp_lo, dp_mid, dp_hi = limbs(ext_c * disc1_c)
+    ch_lo, ch_mid, ch_hi = limbs(ext_c * disc1_c * tax1_c)
     agged = (
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_c).alias("qty_c"),
             F.sum(ext_c).alias("ext_c"),
-            F.sum(ext_c * disc1_c).alias("disc_price_c"),
-            F.sum(ext_c * disc1_c * tax1_c).alias("charge_c"),
+            F.sum(dp_lo).alias("dp_lo"),
+            F.sum(dp_mid).alias("dp_mid"),
+            F.sum(dp_hi).alias("dp_hi"),
+            F.sum(ch_lo).alias("ch_lo"),
+            F.sum(ch_mid).alias("ch_mid"),
+            F.sum(ch_hi).alias("ch_hi"),
             F.sum(disc_c).alias("disc_c"),
             F.count("l_quantity").alias("n_qty"),
             F.count("l_discount").alias("n_disc"),
             F.count("*").alias("count_order"),
         )
+        .withColumn("disc_price_c", recombine("dp"))
+        .withColumn("charge_c", recombine("ch"))
     )
     return agged.select(
         "l_returnflag",

@@ -17,14 +17,13 @@ def duck(sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
-def test_oracle_parity(name, spark, sf_dir, duck):
-    sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+def test_oracle_parity(name, built_queries, duck):
+    sdf = built_queries(name).toPandas()
     odf = duck.sql(registry.ORACLES[name]).df()
     ok, msg = compare(name, sdf, odf)
     assert ok, msg
 
 
 @pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLES)))
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = registry.QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_rows_only_queries_run(name, built_queries):
+    assert built_queries(name).count() >= 0

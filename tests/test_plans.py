@@ -54,12 +54,15 @@ def test_winnow_is_single_arrow_eval(spark, sf_dir):
 
 def test_q1_aggregates_on_longs(spark, sf_dir):
     """q1's hot path must sum LONGS (exact cents), not Decimals — the
-    decimal descale belongs in the post-agg projection only."""
+    decimal descale belongs in the post-agg projection only. The overflow
+    guard for the two product sums is the base-1e6 LIMB split (three long
+    sums each, recombined post-agg), so the aggregate must carry >= 8 long
+    partial sums and still zero decimal ones."""
     plan = formatted_plan(q("q1_pricing_summary", spark, sf_dir))
     import re
 
     partials = re.findall(r"partial_sum\([^)]*\)", plan)
-    assert partials, "expected partial sums in q1 plan"
+    assert len(partials) >= 8, partials  # qty, ext, disc + 2 products × 3 limbs
     assert not any("decimal" in p.lower() for p in partials), partials
 
 

@@ -44,10 +44,13 @@ def test_oracles_reference_only_registered_views():
             ), f"{name}: oracle references unknown relation {t!r}"
 
 
-def test_all_registered_outputs_scalar_typed(spark, sf_dir):
+def test_all_registered_outputs_scalar_typed(built_queries):
     """The driver's canonicalizer sorts every output column with pandas;
     array/map/struct columns crash it (round-2 red row: label_centroids).
-    Every registered query must emit only scalar-typed columns."""
+    Every registered query must emit only scalar-typed columns. Builds come
+    from the session-shared cache: constructing the streaming/CC queries
+    executes their full drains, so rebuilding all 142 here would re-run a
+    large fraction of the workload just to read schemas (advisor, round 4)."""
     from pyspark.sql import types as T
 
     from sabd_deduplicator_spark import registry
@@ -56,7 +59,7 @@ def test_all_registered_outputs_scalar_typed(spark, sf_dir):
     complex_types = (T.ArrayType, T.MapType, T.StructType)
     offenders = []
     for name in sorted(registry.QUERIES):
-        df = registry.QUERIES[name](spark, sf_dir)
+        df = built_queries(name)
         bad = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields
