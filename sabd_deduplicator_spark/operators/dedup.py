@@ -155,6 +155,40 @@ def merge_hash_links(existing: DataFrame, new_chunks: DataFrame, **kw) -> DataFr
     )
 
 
+def merge_hash_links_onto_index(
+    existing: DataFrame, new_links: DataFrame
+) -> DataFrame:
+    """Join-based twin of merge_hash_links for an ON-DISK BUCKETED index
+    (save_bucketed_table on `hash`). The reference probes its Postgres
+    B-tree index per flush (/root/reference/lib/deduplicator/hash.ex:66-79);
+    the Spark analogue that survives a 100× index is: keep the (huge) index
+    in place and move only the (small) delta. A full-outer join on the
+    bucket key reads the index side shuffle-free straight from its buckets
+    and Exchanges ONLY the new batch into the index's partitioning — gated
+    as exactly-one-Exchange in tests/test_bucketed_join.py.
+
+    Semantics match merge_hash_links under the index invariant (one row per
+    hash): a known hash keeps its OLD link and adds the new refs; a new
+    hash takes the batch's link. Prefer this form whenever `existing` is a
+    bucketed/partitioned stored table; the union+agg form is for two
+    in-flight DataFrames neither of which has a useful layout."""
+    e = existing.select("hash", "file_id", "line", "refs_num")
+    n = new_links.select(
+        "hash",
+        F.col("file_id").alias("_nf"),
+        F.col("line").alias("_nl"),
+        F.col("refs_num").alias("_nr"),
+    )
+    return e.join(n, "hash", "full_outer").select(
+        "hash",
+        F.coalesce("file_id", "_nf").alias("file_id"),
+        F.coalesce("line", "_nl").alias("line"),
+        (F.coalesce("refs_num", F.lit(0)) + F.coalesce("_nr", F.lit(0))).alias(
+            "refs_num"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries (documents.text as the content being deduplicated)
 # ---------------------------------------------------------------------------

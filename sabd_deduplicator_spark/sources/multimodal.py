@@ -30,18 +30,61 @@ FEATURE_SCHEMA = (
 )
 
 
+def parse_image_dims(payload: bytes) -> tuple[int, int]:
+    """Pure-Python dimension sniff for the two common container families —
+    no codec library needed (this container ships none), because dimensions
+    live in fixed HEADER fields, not in the compressed stream:
+
+    - PNG: IHDR is mandated to be the first chunk, so width/height are the
+      big-endian u32 pair at bytes 16-24 of the file.
+    - JPEG: walk the marker segments from SOI until a start-of-frame marker
+      (0xC0-0xCF minus the non-SOF 0xC4/0xC8/0xCC); height/width are the
+      big-endian u16 pair after the segment's precision byte. Standalone
+      markers (RST/SOI/TEM) carry no length and are skipped.
+
+    Raises ValueError on anything else — callers treat an undecodable
+    payload as "fall back to catalog metadata"."""
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError("corrupt JPEG marker stream")
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return w, h
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF marker")
+    raise ValueError("unknown image container")
+
+
 def _image_decoder():
-    """Import-gated decoder factory: returns a `bytes -> (width, height)`
-    callable when Pillow is importable, else None. Registered queries treat
-    None as "fall back to catalog metadata" — no code path reachable from a
-    query raises on a missing codec; `_decode_image` below is the loud
-    variant for direct library use."""
+    """Decoder factory: a `bytes -> (width, height)` callable — Pillow when
+    importable (decodes everything Pillow knows), else the pure-Python
+    header sniffer above (PNG + JPEG, the two fixture families). Callers
+    catch per-payload exceptions and fall back to catalog metadata;
+    `_decode_image` below is the loud full-decode variant for direct
+    library use."""
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError:  # pragma: no cover - no PIL in container
-        return None
+        return parse_image_dims
 
     def dims(payload: bytes):
         with Image.open(io.BytesIO(payload)) as img:
@@ -71,11 +114,12 @@ def extract_media_features(blobs: DataFrame) -> DataFrame:
 
     Deterministic payload-level features stand in for codec output; the
     iterator-of-batches signature is exactly what a real decoder uses, and
-    Arrow moves the binary column zero-copy. When Pillow is importable
-    (`_image_decoder`), image rows get width/height from the ACTUAL payload;
-    otherwise — or when a payload isn't decodable, as with these synthetic
-    text-byte blobs — the typed catalog metadata is the fallback, so output
-    is identical with and without the codec on non-image corpora.
+    Arrow moves the binary column zero-copy. Image rows get width/height
+    from the ACTUAL payload — via Pillow when importable, else the
+    pure-Python PNG/JPEG header sniffer (`parse_image_dims`); payloads
+    neither can read (e.g. these synthetic text-byte blobs) fall back to
+    the typed catalog metadata, so output is identical with and without a
+    codec on non-image corpora.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

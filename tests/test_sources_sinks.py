@@ -181,29 +181,54 @@ def _tiny_png(width: int, height: int) -> bytes:
     )
 
 
-def test_real_png_decode_branch(spark):
-    """The decode branch of extract_media_features, exercised with a REAL
-    in-test PNG payload, passing either way (round-2 verdict item 8):
-    with Pillow importable the ACTUAL payload dimensions must override the
-    catalog metadata; without it the metadata fallback must hold."""
+def _tiny_jpeg(width: int, height: int) -> bytes:
+    """A structurally minimal JPEG: SOI + APP0(JFIF) + SOF0 carrying the
+    dimensions + EOI. Enough header for any SOF marker scan; not a fully
+    decodable image (no entropy-coded scan — the dimension sniff must not
+    need one)."""
+    import struct
+
+    app0_body = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    sof_body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_real_image_decode_branch(spark):
+    """The decode branch of extract_media_features, exercised with REAL
+    in-test PNG and JPEG payloads (round-2 verdict item 8; JPEG added in
+    round 4): with Pillow absent the pure-Python header sniffer must
+    recover the ACTUAL payload dimensions for both families, overriding
+    catalog metadata; undecodable payloads fall back to metadata."""
     from sabd_deduplicator_spark.sources.multimodal import (
         _image_decoder,
         extract_media_features,
+        parse_image_dims,
     )
 
-    png = _tiny_png(7, 5)
+    png, jpeg = _tiny_png(7, 5), _tiny_jpeg(31, 17)
+    # the pure sniffer reads both container families, always
+    assert parse_image_dims(png) == (7, 5)
+    assert parse_image_dims(jpeg) == (31, 17)
     blobs = spark.createDataFrame(
-        [(1, "image", png, 999, 888), (2, "image", b"not-an-image", 640, 480)],
+        [
+            (1, "image", png, 999, 888),
+            (2, "image", b"not-an-image", 640, 480),
+            (3, "image", jpeg, 777, 666),
+        ],
         "blob_id long, media_type string, payload binary, "
         "meta_width int, meta_height int",
     )
     rows = {r["blob_id"]: r for r in extract_media_features(blobs).collect()}
-    decode = _image_decoder()
-    if decode is not None:
-        assert decode(png) == (7, 5)  # the decoder itself, driver-side
-        assert (rows[1]["width"], rows[1]["height"]) == (7, 5)
-    else:
-        assert (rows[1]["width"], rows[1]["height"]) == (999, 888)
+    assert _image_decoder()(png) == (7, 5)  # the decoder itself, driver-side
+    assert (rows[1]["width"], rows[1]["height"]) == (7, 5)
+    try:
+        import PIL  # noqa: F401  # type: ignore[import-not-found]
+    except ImportError:
+        # headers-only JPEG: the sniffer reads it (Pillow would reject it
+        # as truncated and fall back to metadata, hence the gate)
+        assert (rows[3]["width"], rows[3]["height"]) == (31, 17)
     # an undecodable payload falls back to metadata in BOTH worlds
     assert (rows[2]["width"], rows[2]["height"]) == (640, 480)
     assert rows[1]["n_bytes"] == len(png)
