@@ -841,7 +841,10 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is MEASURED, not assumed, in tests/test_ann_clustered.py over a planted
     16-cluster fixture."""
     eps = 1e-9
-    exact = knn_exact_top1(spark, sf_dir)  # vec_a, vec_b, cos (exact top-1)
+    # vec_a, vec_b, cos (exact top-1) — localCheckpoint: two stat branches
+    # consume it, and re-deriving the tiled-BLAS grid per branch costs more
+    # than pinning its n-row result
+    exact = knn_exact_top1(spark, sf_dir).localCheckpoint()
 
     def _stats(method: str, k: int, probes: int, joined, hit_col):
         return joined.agg(

@@ -84,9 +84,11 @@ HEADLINERS = {
     ),
     "q1_pricing_summary": (
         "Canonical wide aggregate. Expect: one scan, partial+final "
-        "HashAggregate over LONG sums (exact integer cents/basis-points — "
-        "no Decimal aggregation buffers in the hot path), the decimal "
-        "descale + double cast only in the post-agg Project."
+        "HashAggregate over LONG sums only (exact integer cents/basis-points "
+        "— no Decimal aggregation buffers in the hot path; the two product "
+        "columns are base-1e6 limb triples so their long sums cannot wrap "
+        "below ~9e12 rows/group), limb recombination + decimal descale + "
+        "double cast only in the post-agg Project."
     ),
     "text_winnow_fingerprint": (
         "The one sanctioned Python hot loop. Expect: narrow scan + codegen "
