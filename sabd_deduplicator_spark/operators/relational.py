@@ -335,6 +335,30 @@ _DISC_PRICE = (
 )
 _CHARGE = _DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(12,2))"
 
+# --- base-1e6 limb split: overflow-proof long aggregation -------------------
+# A non-negative long v < 2^53 splits as v = hi·1e12 + mid·1e6 + lo with each
+# limb < 1e6, so per-limb long SUMS stay under 2^63 up to ~9e12 rows per
+# group; the limb sums recombine exactly in decimal(38,0) post-aggregation.
+# Property-tested against Python int arithmetic in tests/test_plans.py.
+_LIMB = 10**6  # plain int: F.lit at module import would need a live context
+
+
+def _limbs(col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    lo = F.pmod(col, F.lit(_LIMB)).cast("long")
+    rest = ((col - lo) / F.lit(_LIMB)).cast("long")  # exact: col < 2^53
+    mid = F.pmod(rest, F.lit(_LIMB)).cast("long")
+    hi = ((rest - mid) / F.lit(_LIMB)).cast("long")
+    return lo, mid, hi
+
+
+def _recombine_limb_sums(prefix: str) -> F.Column:
+    # decimal(38,0) is exact here: real magnitudes are ≤ ~1e17·sf ≪ 1e38
+    return (
+        F.col(f"{prefix}_hi").cast("decimal(38,0)") * F.lit(10**12)
+        + F.col(f"{prefix}_mid").cast("decimal(38,0)") * F.lit(_LIMB)
+        + F.col(f"{prefix}_lo").cast("decimal(38,0)")
+    )
+
 
 @query(
     "q1_pricing_summary",
@@ -392,25 +416,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial AND final sums (gated in tests/test_plans.py). The plain cent
     # columns stay single long sums (qty_c < 5e3·100, ext_c < 1.1e7: safe
     # past sf 5e5 ≈ 350 TB of lineitem).
-    _M = F.lit(10**6)
-
-    def limbs(col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
-        lo = F.pmod(col, _M).cast("long")
-        rest = ((col - lo) / _M).cast("long")
-        mid = F.pmod(rest, _M).cast("long")
-        hi = ((rest - mid) / _M).cast("long")
-        return lo, mid, hi
-
-    def recombine(prefix: str) -> F.Column:
-        # decimal(38,0) is exact here: real magnitudes are ≤ ~1e17·sf ≪ 1e38
-        return (
-            F.col(f"{prefix}_hi").cast("decimal(38,0)") * F.lit(10**12)
-            + F.col(f"{prefix}_mid").cast("decimal(38,0)") * _M
-            + F.col(f"{prefix}_lo").cast("decimal(38,0)")
-        )
-
-    dp_lo, dp_mid, dp_hi = limbs(ext_c * disc1_c)
-    ch_lo, ch_mid, ch_hi = limbs(ext_c * disc1_c * tax1_c)
+    dp_lo, dp_mid, dp_hi = _limbs(ext_c * disc1_c)
+    ch_lo, ch_mid, ch_hi = _limbs(ext_c * disc1_c * tax1_c)
+    recombine = _recombine_limb_sums
     agged = (
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

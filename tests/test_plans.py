@@ -66,6 +66,63 @@ def test_q1_aggregates_on_longs(spark, sf_dir):
     assert not any("decimal" in p.lower() for p in partials), partials
 
 
+def test_limb_split_sum_matches_exact_integer_arithmetic(spark):
+    """The q1 overflow guard's core identity: summing base-1e6 limbs as
+    longs and recombining in decimal must equal exact Python int summation,
+    including values straddling limb boundaries and the documented 2^53
+    extraction ceiling."""
+    from pyspark.sql import functions as F
+
+    from sabd_deduplicator_spark.operators.relational import (
+        _limbs,
+        _recombine_limb_sums,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vals = [
+        0, 1, 999_999, 1_000_000, 1_000_001,
+        999_999_999_999, 10**12, 10**12 + 1,
+        (1 << 53) - 1,  # extraction ceiling
+        123_456_789_012_345,
+    ] + [rng.randrange(0, 1 << 53) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    lo, mid, hi = _limbs(F.col("v"))
+    got = (
+        df.agg(
+            F.sum(lo).alias("x_lo"), F.sum(mid).alias("x_mid"), F.sum(hi).alias("x_hi")
+        )
+        .select(_recombine_limb_sums("x").cast("string").alias("s"))
+        .first()["s"]
+    )
+    assert int(got) == sum(vals)
+
+
+def test_multiprobe_lsh_is_partitioning_invariant(spark, sf_dir):
+    """ann_lsh_topk's result must not depend on how the input happens to be
+    partitioned (probe routing is per-row, bucket kernels sort candidates,
+    and the packed-ordinal max-merge is order-free) — the rows-only driver
+    check can't see this, so pin it here."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.similarity import (
+        LSH_PROBES,
+        lsh_planes_for,
+        lsh_top1,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_planes = lsh_planes_for(e.count())
+    a = {tuple(r) for r in lsh_top1(e, n_planes, LSH_PROBES).collect()}
+    b = {
+        tuple(r)
+        for r in lsh_top1(e.repartition(7, "vec_id"), n_planes, LSH_PROBES).collect()
+    }
+    c = {tuple(r) for r in lsh_top1(e.coalesce(1), n_planes, LSH_PROBES).collect()}
+    assert a == b == c
+    assert len(a) > 0
+
+
 def test_dimension_joins_broadcast(spark, sf_dir):
     """customer/nation/region joins must be broadcast: the orders fact table
     never shuffles for the join."""
