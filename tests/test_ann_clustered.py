@@ -82,6 +82,21 @@ def test_ivf_probe_sweep_monotone_clustered(spark, clustered):
     assert recalls[1] >= recalls[0]
 
 
+def test_ivf_partitioning_invariant(spark, clustered):
+    """ivf_topk must return the identical top-10 regardless of input
+    partitioning: quantizer training canonicalizes its bounded sample,
+    assignment is per-row, and the rank order (cos desc, vec_id) is total."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.similarity import ivf_topk
+
+    d, _ = clustered
+    e = table(spark, d, "embeddings").select("vec_id", "embedding")
+    a = {tuple(r) for r in ivf_topk(spark, e, probes=4).collect()}
+    b = {tuple(r) for r in ivf_topk(spark, e.repartition(7, "vec_id"), probes=4).collect()}
+    assert a == b
+    assert len(a) == 10
+
+
 def test_lsh_multiprobe_recall_clustered(spark, clustered):
     """Multi-probe LSH top-1 over every vector: a hit is an LSH neighbor at
     least as close as the exact nearest neighbor (tie-robust). Clustered

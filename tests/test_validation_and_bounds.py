@@ -249,30 +249,30 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
 
 
 def test_ann_recall_vs_exact(spark, sf_dir):
-    """Approximate-ANN quality gate: IVF top-10 recall@10 against the exact
-    cosine top-10. These synthetic embeddings are near-uniform (no cluster
-    structure for trained centroids to exploit), so measured recall is ~0.5 —
-    the floor of 0.35 is a regression guard (a broken cell assignment or
-    probe selection drops to ≤0.25, the random-probing expectation at 4/16
-    cells), not a quality claim; on real clustered embeddings IVF recall
-    rises with data structure and the PROBES dial. LSH (ann_lsh_topk) is
-    looser by design and only sanity-checked non-empty."""
+    """Approximate-ANN quality gate over the registered recall REPORT (one
+    run measures everything). These synthetic embeddings are near-uniform
+    (no cluster structure to exploit), so the floors are regression guards,
+    not quality claims — the quality claim lives in test_ann_clustered.py:
+
+    - multi-probe LSH@1 ≥ 0.5 (measures ~0.68; the pre-multi-probe number
+      was 0.216, so a broken probe routing trips this immediately);
+    - IVF@10 at the default 4 probes ≥ 0.35 (random probing of 4/16 cells
+      expects ~0.25; measures ~0.5-0.6);
+    - the probe sweep is monotone non-decreasing in probes — candidate
+      sets are nested prefixes, so any inversion means the prefix filter
+      or the shared scoring pass broke."""
     from sabd_deduplicator_spark import registry
+    from sabd_deduplicator_spark.operators.similarity import IVF_PROBES, LSH_PROBES
 
     registry.load_all_queries()
-    exact = {
-        r["vec_id"]
-        for r in registry.QUERIES["similarity_topk_cosine"](spark, sf_dir).collect()
-    }
-    ivf = {
-        r["vec_id"]
-        for r in registry.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
-    }
-    assert len(exact) == 10
-    recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.35, f"IVF recall@10 dropped to {recall}"
-    lsh = registry.QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
-    assert len(lsh) > 0
+    rows = registry.QUERIES["ann_recall_vs_exact"](spark, sf_dir).collect()
+    by_key = {(r["method"], r["k"], r["probes"]): r["recall"] for r in rows}
+    lsh = by_key[("ann_lsh_topk", 1, LSH_PROBES)]
+    assert lsh >= 0.5, f"multi-probe LSH recall@1 dropped to {lsh}"
+    ivf4 = by_key[("ann_ivf_topk", 10, IVF_PROBES)]
+    assert ivf4 >= 0.35, f"IVF recall@10 dropped to {ivf4}"
+    sweep = [by_key[("ann_ivf_topk", 10, p)] for p in (1, 2, 4, 8)]
+    assert sweep == sorted(sweep), f"probe sweep not monotone: {sweep}"
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
