@@ -814,6 +814,89 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_PROBE_SWEEP = (1, 2, 4, 8)  # nested prefixes of the probe order
 
+RECALL_SAMPLE = 256  # query vectors graded by the recall report
+
+
+def exact_top1_for_sample(
+    spark: SparkSession, e: DataFrame, n_sample: int = RECALL_SAMPLE
+) -> DataFrame:
+    """Exact nearest neighbor for a BOUNDED deterministic sample of query
+    vectors — the recall-grading shape that survives 100×: one broadcast of
+    the (n_sample × dim) query matrix and ONE linear corpus pass (each
+    batch BLAS-scores batch × sample and emits per-sample tile winners),
+    merged by the same packed (cos, ¬vec_b) ordinal as knn_exact_top1.
+    O(n·s) FLOPs instead of the all-pairs O(n²) grid, zero shuffles beyond
+    the s-row winner merge.
+
+    Sample = vec_id 0 (the registered ANN probe convention, always graded)
+    ∪ the n_sample-1 lowest-xxhash64 vec_ids — deterministic, corpus-size
+    independent, and a bounded driver transfer (same discipline as IVF
+    quantizer training)."""
+    import numpy as np
+
+    ids_rows = (
+        e.select("vec_id")
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(n_sample - 1)
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .first()
+    )
+    sample_ids = sorted({0, *ids_rows["ids"]})
+    sample_row = (  # ONE bounded row: ≤ n_sample structs, corpus-independent
+        e.filter(F.col("vec_id").isin(sample_ids))
+        .select(F.struct("vec_id", "embedding").alias("s"))
+        .agg(F.collect_list("s").alias("s"))
+        .first()
+    )
+    srows = sorted(sample_row["s"], key=lambda r: r["vec_id"])
+    s_ids = np.array([r["vec_id"] for r in srows], dtype=np.int64)
+    s_mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in srows]
+    )
+    s_mat /= np.linalg.norm(s_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((s_ids, s_mat))
+    id_mask = (1 << _KNN_ID_BITS) - 1
+
+    def batch_best(batches):
+        import pandas as pd
+
+        ids_s, mat_s = bc.value
+        for chunk in batches:
+            c_ids = chunk["vec_id"].to_numpy()
+            order = np.argsort(c_ids)  # first-max ⇒ smallest vec_b on ties
+            c_ids = c_ids[order]
+            cm = np.stack(chunk["embedding"].to_numpy()[order]).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            g = np.round(mat_s @ cm.T, 6)  # sample × batch
+            g[ids_s[:, None] == c_ids[None, :]] = -np.inf  # self-pairs
+            j = np.argmax(g, axis=1)
+            best = g[np.arange(len(ids_s)), j]
+            ok = np.isfinite(best)
+            if not ok.any():
+                continue
+            c6 = np.round(best[ok] * 1e6).astype(np.int64) + _COS_SHIFT
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids_s[ok],
+                    "ord": (c6 << _KNN_ID_BITS) | (id_mask - c_ids[j[ok]]),
+                }
+            )
+
+    merged = (
+        e.mapInPandas(batch_best, "vec_a long, ord long")
+        .groupBy("vec_a")
+        .agg(F.max("ord").alias("ord"))
+    )
+    return merged.select(
+        "vec_a",
+        (F.lit(id_mask) - F.col("ord").bitwiseAND(F.lit(id_mask))).alias("vec_b"),
+        (
+            (F.shiftright("ord", _KNN_ID_BITS) - F.lit(_COS_SHIFT)).cast("double")
+            / 1e6
+        ).alias("cos"),
+    )
+
 
 @query("ann_recall_vs_exact")  # quality metric over approximate paths → rows-only
 def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,10 +904,14 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate queries carry a quantified quality number, not just row
     counts. One row per (method, k, probes):
 
-    - ann_lsh_topk @ k=1 (probes=LSH_PROBES): per-vector — a hit is "the
-      multi-probe LSH neighbor is at least as close as the exact top-1"
-      (cos within 1e-9; tie-robust). A vector with no LSH row counts as a
-      miss.
+    - ann_lsh_topk @ k=1 (probes=LSH_PROBES): over a bounded deterministic
+      query sample (exact_top1_for_sample: RECALL_SAMPLE vectors, exact
+      baseline via ONE linear corpus×sample pass — grading must not pay the
+      all-pairs O(n²) grid the report is meant to let users avoid;
+      knn_exact_top1 remains registered as the full exact oracle). A hit is
+      "the multi-probe LSH neighbor is at least as close as the exact
+      top-1" (cos within 1e-9; tie-robust); a sampled vector with no LSH
+      row counts as a miss.
     - ann_ivf_topk @ k=1 (probes=IVF_PROBES): the single registered probe
       query (vec_id 0), scored on its best candidate vs the exact top-1.
     - ann_ivf_topk @ k=10 for each probes in IVF_PROBE_SWEEP: set overlap
@@ -841,10 +928,10 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is MEASURED, not assumed, in tests/test_ann_clustered.py over a planted
     16-cluster fixture."""
     eps = 1e-9
-    # vec_a, vec_b, cos (exact top-1) — localCheckpoint: two stat branches
-    # consume it, and re-deriving the tiled-BLAS grid per branch costs more
-    # than pinning its n-row result
-    exact = knn_exact_top1(spark, sf_dir).localCheckpoint()
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # exact top-1 for the graded sample — localCheckpoint: two stat
+    # branches consume it, pin the ≤RECALL_SAMPLE-row result
+    exact = exact_top1_for_sample(spark, e).localCheckpoint()
 
     def _stats(method: str, k: int, probes: int, joined, hit_col):
         return joined.agg(
@@ -872,7 +959,6 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ann_cos"), F.lit(-2.0)) >= F.col("cos") - eps,
     )
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one scoring pass at the widest probe count serves every sweep row;
     # localCheckpoint pins the (small: ≤ max(sweep)/CLUSTERS of the corpus)
     # candidate scores so the 5 consumers below don't re-run assignment
