@@ -97,6 +97,29 @@ def test_ivf_partitioning_invariant(spark, clustered):
     assert len(a) == 10
 
 
+def test_sampled_exact_baseline_matches_full_grid(spark, clustered):
+    """exact_top1_for_sample (the O(n·s) recall-grading baseline) must agree
+    EXACTLY — neighbor id and rounded cosine, ties included — with the
+    all-pairs knn_exact_top1 grid on every sampled vector, and always
+    include vec_id 0 (the registered probe convention)."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.similarity import (
+        exact_top1_for_sample,
+        knn_exact_top1,
+    )
+
+    d, _ = clustered
+    e = table(spark, d, "embeddings").select("vec_id", "embedding")
+    full = {r["vec_a"]: (r["vec_b"], r["cos"]) for r in knn_exact_top1(spark, d).collect()}
+    sampled = {
+        r["vec_a"]: (r["vec_b"], r["cos"])
+        for r in exact_top1_for_sample(spark, e, n_sample=64).collect()
+    }
+    assert 0 in sampled
+    assert len(sampled) == 64
+    assert sampled == {k: full[k] for k in sampled}
+
+
 def test_lsh_multiprobe_recall_clustered(spark, clustered):
     """Multi-probe LSH top-1 over every vector: a hit is an LSH neighbor at
     least as close as the exact nearest neighbor (tie-robust). Clustered
