@@ -837,7 +837,9 @@ def exact_top1_for_sample(
     ids_rows = (
         e.select("vec_id")
         .filter(F.col("vec_id") != 0)
-        .orderBy(F.xxhash64("vec_id"))
+        # vec_id tiebreak: a hash collision must not make the sample set
+        # depend on partition arrival order
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(n_sample - 1)
         .agg(F.collect_list("vec_id").alias("ids"))
         .first()
