@@ -156,7 +156,7 @@ def merge_hash_links(existing: DataFrame, new_chunks: DataFrame, **kw) -> DataFr
 
 
 def merge_hash_links_onto_index(
-    existing: DataFrame, new_links: DataFrame
+    existing: DataFrame, new_links: DataFrame, n_buckets: int | None = None
 ) -> DataFrame:
     """Join-based twin of merge_hash_links for an ON-DISK BUCKETED index
     (save_bucketed_table on `hash`). The reference probes its Postgres
@@ -167,17 +167,32 @@ def merge_hash_links_onto_index(
     and Exchanges ONLY the new batch into the index's partitioning — gated
     as exactly-one-Exchange in tests/test_bucketed_join.py.
 
+    The delta is first collapsed to one row per hash (min packed link, refs
+    summed) so a batch that repeats a hash cannot fan out the full-outer
+    join and break the one-row-per-hash index invariant. Pass ``n_buckets``
+    equal to the index's bucket count to keep the whole plan at ONE
+    Exchange: the delta is repartitioned straight into the index's
+    partitioning, and both the aggregate and the join then run
+    exchange-free on top of it. Without it the plan is still correct but
+    pays a second (delta-sized — i.e. cheap) shuffle.
+
     Semantics match merge_hash_links under the index invariant (one row per
     hash): a known hash keeps its OLD link and adds the new refs; a new
-    hash takes the batch's link. Prefer this form whenever `existing` is a
-    bucketed/partitioned stored table; the union+agg form is for two
+    hash takes the batch's min link. Prefer this form whenever `existing`
+    is a bucketed/partitioned stored table; the union+agg form is for two
     in-flight DataFrames neither of which has a useful layout."""
     e = existing.select("hash", "file_id", "line", "refs_num")
-    n = new_links.select(
+    raw = new_links.select("hash", "file_id", "line", "refs_num")
+    if n_buckets is not None:
+        raw = raw.repartition(n_buckets, "hash")
+    n = raw.groupBy("hash").agg(
+        F.min(_packed_ordinal("file_id", "line")).alias("_np"),
+        F.sum("refs_num").alias("_nr"),
+    ).select(
         "hash",
-        F.col("file_id").alias("_nf"),
-        F.col("line").alias("_nl"),
-        F.col("refs_num").alias("_nr"),
+        F.expr(f"shiftright(_np, {_LINE_BITS})").alias("_nf"),
+        F.expr(f"_np & {(1 << _LINE_BITS) - 1}").alias("_nl"),
+        "_nr",
     )
     return e.join(n, "hash", "full_outer").select(
         "hash",

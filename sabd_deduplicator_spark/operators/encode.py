@@ -251,14 +251,42 @@ def encode_chunks_global(
     return joined.select(file_col, "line", token.alias("token"))
 
 
+def _infer_global_widths(
+    tokens: DataFrame,
+    file_col: str,
+    file_width: int | None,
+    pointer_width: int | None,
+) -> tuple[int, int]:
+    """Recompute the widths an auto-sized encode_chunks_global chose.
+
+    Valid because tokens carry the SAME (file, line) universe the encoder
+    sized from (one token per chunk): required_file_width /
+    required_pointer_width over the token stream reproduce the encode-time
+    choice exactly. Only meaningful for streams encoded with width=None —
+    for fixed-width streams pass the widths you encoded with."""
+    if file_width is None:
+        file_width = required_file_width(tokens, file_col=file_col)
+    if pointer_width is None:
+        pointer_width = required_pointer_width(tokens)
+    return file_width, pointer_width
+
+
 def decode_tokens_global(
     tokens: DataFrame,
     file_col: str = "doc_id",
-    file_width: int = FILE_WIDTH,
-    pointer_width: int = POINTER_WIDTH,
+    file_width: int | None = FILE_WIDTH,
+    pointer_width: int | None = POINTER_WIDTH,
 ) -> DataFrame:
     """Inverse of encode_chunks_global: pointers resolve ACROSS files — one
-    equi-join on the (file, line) pair of the pointed-at literal."""
+    equi-join on the (file, line) pair of the pointed-at literal.
+
+    file_width/pointer_width accept None to mirror encode_chunks_global's
+    auto-sizing (ADVICE r4: auto-sizing was one-sided — tokens encoded with
+    None previously decoded to garbage unless the caller independently
+    recomputed the widths)."""
+    file_width, pointer_width = _infer_global_widths(
+        tokens, file_col, file_width, pointer_width
+    )
     is_literal = F.col("token").startswith(LITERAL)
     literals = tokens.filter(is_literal).select(
         file_col, "line", F.expr("substring(token, 2)").alias("chunk")
@@ -290,8 +318,8 @@ def decode_tokens_global(
 def validate_tokens_global(
     tokens: DataFrame,
     file_col: str = "doc_id",
-    file_width: int = FILE_WIDTH,
-    pointer_width: int = POINTER_WIDTH,
+    file_width: int | None = FILE_WIDTH,
+    pointer_width: int | None = POINTER_WIDTH,
 ) -> DataFrame:
     """Malformed-stream detection for the GLOBAL grammar (round-3 verdict
     item 3 — validate_tokens covers only per-file pointers). One row per
@@ -307,7 +335,11 @@ def validate_tokens_global(
 
     Same set-at-a-time shape as validate_tokens: marker/width checks are
     narrow scans; the dangling check is one left-anti equi-join against the
-    literal set on the decoded (file, line) pair."""
+    literal set on the decoded (file, line) pair. Widths accept None, same
+    contract as decode_tokens_global."""
+    file_width, pointer_width = _infer_global_widths(
+        tokens, file_col, file_width, pointer_width
+    )
     is_literal = F.col("token").startswith(LITERAL)
     is_pointer = F.col("token").startswith(POINTER)
     marker_bad = tokens.filter(~is_literal & ~is_pointer).select(

@@ -31,6 +31,30 @@ _SINK_IDS = itertools.count()
 
 _STAGE_MEMO: dict[str, str] = {}
 
+# Event-time span of the events table, memoized per sf_dir: the attribution
+# drain derives its watermark delay from it (see streaming_attribution_join),
+# and the min/max scan should not be re-paid on every build (ADVICE r4).
+_EV_SPAN_MEMO: dict[str, int] = {}
+
+
+def _events_span_seconds(spark: SparkSession, sf_dir: str) -> int:
+    """Whole-seconds event-time span of sf_dir's events table; 0 when the
+    table is empty (span row comes back NULL — previously a TypeError)."""
+    if sf_dir not in _EV_SPAN_MEMO:
+        from sabd_deduplicator_spark.catalog import table
+
+        span = (
+            table(spark, sf_dir, "events")
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .first()
+        )
+        _EV_SPAN_MEMO[sf_dir] = (
+            0
+            if span is None or span["hi"] is None
+            else int((span["hi"] - span["lo"]).total_seconds())
+        )
+    return _EV_SPAN_MEMO[sf_dir]
+
 
 def _stage(
     df: DataFrame, n_files: int, key: str | None = None, src_path: str | None = None
@@ -349,8 +373,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, n_files=2, key=f"{sf_dir}:events:all:2",
         src_path=f"{sf_dir}/events.parquet",
     )
-    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    delay_sec = int((span["hi"] - span["lo"]).total_seconds()) + 3600
+    delay_sec = _events_span_seconds(spark, sf_dir) + 3600
     joined = streaming_attribution(
         spark, staged, watermark_delay=f"{delay_sec} seconds"
     )

@@ -68,16 +68,27 @@ def test_incremental_merge_probes_bucketed_index_in_place(no_broadcast):
         "hash",
         n_buckets=8,
     )
+    # The delta deliberately REPEATS h3: the function must collapse it to one
+    # row per hash (min link, refs summed) before probing the index.
     delta = spark.createDataFrame(
-        [("h2", 9, 5, 2), ("h3", 9, 6, 1)],
+        [("h2", 9, 5, 2), ("h3", 9, 7, 4), ("h3", 9, 6, 1)],
         "hash string, file_id long, line long, refs_num long",
     )
-    merged = merge_hash_links_onto_index(spark.table("hash_links_idx"), delta)
+    merged = merge_hash_links_onto_index(
+        spark.table("hash_links_idx"), delta, n_buckets=8
+    )
     n_shuffles = count_exchanges(merged)
     assert n_shuffles == 1, f"index side must not shuffle ({n_shuffles} exchanges)"
     got = {r["hash"]: (r["file_id"], r["line"], r["refs_num"]) for r in merged.collect()}
     assert got == {
         "h1": (1, 0, 3),   # untouched index row survives
         "h2": (1, 1, 3),   # old link kept, refs 1+2
-        "h3": (9, 6, 1),   # new hash inserted with the batch link
+        "h3": (9, 6, 5),   # new hash inserted with the batch's MIN link, refs 4+1
     }
+
+    # Without n_buckets the plan pays one extra (delta-sized) shuffle but the
+    # semantics are identical.
+    merged2 = merge_hash_links_onto_index(spark.table("hash_links_idx"), delta)
+    assert count_exchanges(merged2) == 2
+    got2 = {r["hash"]: (r["file_id"], r["line"], r["refs_num"]) for r in merged2.collect()}
+    assert got2 == got

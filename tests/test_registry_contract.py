@@ -19,6 +19,9 @@ def test_contract_shape():
         assert callable(fn)
     for name, sql in o.items():
         assert isinstance(sql, str) and sql.strip(), name
+    # r5: the md5-permuted MinHash sketch is oracle-checkable end-to-end —
+    # a regression back to engine-specific hashing would drop this key.
+    assert "minhash_lsh_neardup" in o
 
 
 def test_oracles_reference_only_registered_views():

@@ -98,6 +98,7 @@ def test_global_encode_auto_sizes_file_width(spark):
         decode_tokens_global,
         encode_chunks_global,
         required_file_width,
+        validate_tokens_global,
     )
 
     rows = [
@@ -111,13 +112,27 @@ def test_global_encode_auto_sizes_file_width(spark):
         encode_chunks_global(chunks).collect()  # default file_width=6
     assert required_file_width(chunks) == 8
     tokens = encode_chunks_global(chunks, file_width=None, pointer_width=None)
+    # Decode/validate with the SAME None contract: widths are re-inferred
+    # from the token stream, symmetric with encode (ADVICE r4).
     got = {
+        (r.doc_id, r.line): r.chunk
+        for r in decode_tokens_global(
+            tokens, file_width=None, pointer_width=None
+        ).collect()
+    }
+    assert got == {(f, l): c for f, l, c in rows}
+    assert (
+        validate_tokens_global(tokens, file_width=None, pointer_width=None).count()
+        == 0
+    )
+    # ...and a fixed-width decode at the inferred widths agrees.
+    fixed = {
         (r.doc_id, r.line): r.chunk
         for r in decode_tokens_global(
             tokens, file_width=8, pointer_width=1
         ).collect()
     }
-    assert got == {(f, l): c for f, l, c in rows}
+    assert fixed == got
 
 
 def test_validate_tokens_global_classifies_cross_file_faults(spark):
@@ -181,6 +196,31 @@ def test_packed_ordinal_out_of_range_raises(spark):
     )
     with pytest.raises(Exception, match="packed ordinal out of range"):
         build_hash_links(bad_file).collect()
+
+
+def test_knn_packed_ordinal_out_of_range_raises(spark):
+    """The ANN kernels pack the neighbor id into the low 40 bits of the
+    (cos, ¬vec_b) ranking ordinal; a vec_id ≥ 2^40 must raise, not silently
+    return a wrong neighbor (ADVICE r4 — the dedup packed ordinal already
+    had this contract, the ANN side didn't)."""
+    from sabd_deduplicator_spark.operators.similarity import (
+        exact_top1_for_sample,
+        lsh_top1,
+    )
+
+    def v(*lead):  # pad to the corpus DIM (the LSH planes are dim-bound)
+        return list(lead) + [0.0] * (64 - len(lead))
+
+    vecs = [(0, v(1.0)), (1, v(0.9, 0.1)), (1 << 40, v(0.0, 1.0))]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="packed-ordinal range"):
+        exact_top1_for_sample(spark, e, n_sample=3).collect()
+    with pytest.raises(Exception, match="packed-ordinal range"):
+        lsh_top1(e, n_planes=1, probes=0).collect()
+
+    ok = spark.createDataFrame(vecs[:2], "vec_id long, embedding array<float>")
+    got = {r.vec_a: r.vec_b for r in exact_top1_for_sample(spark, ok, n_sample=2).collect()}
+    assert got == {0: 1, 1: 0}
 
 
 def test_unicode_chunking_counts_chars_not_bytes(spark):
