@@ -46,6 +46,7 @@ def load_all_queries() -> None:
         dedup,
         dedup_clusters,
         encode,
+        encoded_file,
         llm_pipeline,
         lookups,
         multimodal,

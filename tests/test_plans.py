@@ -167,6 +167,26 @@ def test_band_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan
 
 
+def test_minhash_stays_jvm_side_equi_joins(spark, sf_dir):
+    """The md5-permuted MinHash sketch (r5) must keep its r4 plan shape:
+    signature build as a hash aggregate, band candidate join as an
+    equi-join, and zero Python anywhere — the oracle-izability rewrite must
+    not cost the JVM-only execution."""
+    plan = formatted_plan(q("minhash_lsh_neardup", spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_media_image_dims_is_narrow_linear_scan(spark, sf_dir):
+    """Container build (codegen concat/unhex) + one Arrow-batched header
+    walk, ZERO Exchanges: dims extraction must stay embarrassingly
+    parallel."""
+    df = q("media_image_dims", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "BatchEvalPython" not in formatted_plan(df)
+
+
 @pytest.mark.parametrize(
     "name",
     [

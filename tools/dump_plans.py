@@ -110,6 +110,21 @@ HEADLINERS = {
         "over the scan + ONE Exchange for the final per-split aggregate — "
         "bucketing must not shuffle or call Python."
     ),
+    "minhash_lsh_neardup": (
+        "Banded MinHash (r5: md5-permuted, fully oracle-checked). Expect: "
+        "one HashAggregate family building the k-permutation signatures "
+        "(map-side partial min over md5 strings), band explode via "
+        "Generate, equi- (not nested-loop) candidate join on "
+        "(band, x, y), and the exact-Jaccard verify joins touching only "
+        "candidate rows; no Python anywhere."
+    ),
+    "media_image_dims": (
+        "Multimodal dims extraction. Expect: one narrow Project building "
+        "the PNG/JPEG container bytes (concat of literals + unhex/lpad/hex "
+        "— whole-stage codegen), then a single ArrowEvalPython/mapInPandas "
+        "for the header walk; ZERO Exchanges — embarrassingly parallel "
+        "linear scan."
+    ),
 }
 
 
