@@ -122,9 +122,19 @@ def encoded_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar token table is the scale path, module docstring)."""
     from sabd_deduplicator_spark.operators.encode import decode_tokens, encode_chunks
 
-    files = encoded_file_string(encode_chunks(doc_chunks(spark, sf_dir)))
+    # localCheckpoint: `files` feeds BOTH the reparse branch and the final
+    # join — without pinning, the encode+string pipeline executes twice.
+    files = encoded_file_string(
+        encode_chunks(doc_chunks(spark, sf_dir))
+    ).localCheckpoint()
+    # The per-file string agg narrows to a handful of AQE-coalesced
+    # partitions (its OUTPUT bytes are small), but the downstream parse fold
+    # is CPU-heavy per row — an explicit fan-out Exchange over one tiny
+    # row-per-file relation restores full parallelism (measured 4.6 → ~2 s
+    # at sf0.1). AQE never coalesces an explicit numbered repartition.
+    spread = files.repartition(spark.sparkContext.defaultParallelism)
     recovered = decode_tokens(
-        parse_encoded_string(files, chunk_size=DEFAULT_CHUNK_SIZE)
+        parse_encoded_string(spread, chunk_size=DEFAULT_CHUNK_SIZE)
     )
     text = recovered.groupBy("doc_id").agg(
         F.array_join(

@@ -319,7 +319,7 @@ def text_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (measured: the exploded form was the slowest text query at
     sf0.1). One shuffle on doc_id with map-side partials; the final bit
     assembly is a pure projection."""
-    d = with_tokens(table(spark, sf_dir, "documents"))
+    d = with_tokens(_simhash_doc_scan(spark, sf_dir))
     tok = d.select("doc_id", F.explode("tokens").alias("t")).withColumn(
         "h", F.md5("t")
     )
@@ -347,6 +347,16 @@ def text_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(2 * F.col(f"s{b}") > F.col("n"), F.lit(1 << (31 - b))).otherwise(0)
         assembled = term if assembled is None else assembled + term
     return voted.select("doc_id", assembled.cast("long").alias("simhash"))
+
+
+def _simhash_doc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan for the simhash path, spread if row-starved: the
+    token explode + per-token md5 + nibble parse is the CPU-heavy part and
+    must not inherit single-split parallelism (catalog.spread_if_narrow —
+    no-op on a multi-split corpus)."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    return spread_if_narrow(table(spark, sf_dir, "documents"))
 
 
 SIMHASH_BANDS = 4  # 4 × 8-bit bands: hamming ≤ 3 ⟹ ≥1 band identical
