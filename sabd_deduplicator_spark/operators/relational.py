@@ -574,12 +574,79 @@ def distinct_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the scale path for distinct-chunk estimation
     (SURVEY.md §2.B aggregations row). Sketches differ across engines by
-    design → rows-only driver check."""
+    design → rows-only driver check. The oracle-checkable approximate
+    sketch is approx_distinct_kmv below."""
     e = table(spark, sf_dir, "events")
     return e.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_type").alias("approx_types"),
     )
+
+
+KMV_K = 64  # k minimum values; rsd ≈ 1/sqrt(k-2) ≈ 13%
+
+
+@query(
+    "approx_distinct_kmv",
+    oracle=(
+        # identical arithmetic tree to the Spark side, term for term
+        "WITH dh AS (SELECT DISTINCT event_type, "
+        "  CAST(('0x' || upper(substring(md5(CAST(user_id AS VARCHAR)), 1, 15))) "
+        "       AS BIGINT) AS hv FROM events), "
+        "rk AS (SELECT event_type, hv, "
+        "  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY event_type) AS nd FROM dh) "
+        "SELECT event_type, "
+        f"CAST(CASE WHEN nd < {KMV_K} THEN CAST(nd AS DOUBLE) "
+        f"  ELSE round(CAST({KMV_K - 1} AS DOUBLE) "
+        f"       / (CAST(hv AS DOUBLE) / pow(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))), 4) "
+        "END AS DOUBLE) AS est_users "
+        f"FROM rk WHERE rn = least(nd, {KMV_K})"
+    ),
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via a K-MINIMUM-VALUES
+    sketch (Bar-Yossef et al. 2002) — the PORTABLE approximate-distinct:
+    hash each user to a uniform fraction (top 60 bits of md5), keep the k
+    smallest per group, estimate (k-1)/u_(k). Unlike HLL (engine-specific
+    register layout → approx_distinct_users stays rows-only by design),
+    every step is expressible identically in Spark and DuckDB, so this
+    sketch is VALUE-ORACLE-CHECKED — the same move that oracle-ized the
+    MinHash sketch this round.
+
+    Exact-fallback: a group with fewer than k distinct users reports the
+    exact count (the sketch saw every value).
+
+    Scale shape: one distinct-reduce on (event_type, hash) — map-side
+    partial dedup collapses repeat users before the shuffle — then a
+    per-group rank to the k-th smallest. At 100 TB you'd swap the rank for
+    a per-group bounded heap (KMV is mergeable, O(k) state); HLL remains
+    the one-pass cheapest path when cross-engine verifiability is not
+    required. Estimator quality at k=64: rsd ≈ 13%."""
+    e = table(spark, sf_dir, "events")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    dh = e.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = dh.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("nd"),
+    )
+    est = F.when(
+        F.col("nd") < KMV_K, F.col("nd").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(KMV_K - 1))
+            / (F.col("hv").cast("double") / F.pow(F.lit(2.0), F.lit(60.0))),
+            4,
+        )
+    )
+    return rk.filter(
+        F.col("rn") == F.least(F.col("nd"), F.lit(KMV_K))
+    ).select("event_type", est.cast("double").alias("est_users"))
 
 
 # ---------------------------------------------------------------------------

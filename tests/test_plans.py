@@ -187,6 +187,24 @@ def test_media_image_dims_is_narrow_linear_scan(spark, sf_dir):
     assert "BatchEvalPython" not in formatted_plan(df)
 
 
+def test_spread_if_narrow_is_noop_on_wide_input(spark, sf_dir):
+    """The row-starved-scan fan-out (r5) must spread a single-split scan to
+    cluster width AND stay a strict no-op (same object, zero added
+    Exchange) on an input that is already wide — the property that makes it
+    safe to leave in 100-TB paths."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow, table
+
+    width = spark.sparkContext.defaultParallelism
+    narrow = table(spark, sf_dir, "documents")
+    assert narrow.rdd.getNumPartitions() < max(2, width // 2)  # fixture premise
+    spreaded = spread_if_narrow(narrow)
+    assert spreaded.rdd.getNumPartitions() == width
+    assert spreaded.count() == narrow.count()
+
+    wide = narrow.repartition(width)
+    assert spread_if_narrow(wide) is wide
+
+
 @pytest.mark.parametrize(
     "name",
     [
