@@ -136,3 +136,57 @@ def test_lsh_multiprobe_recall_clustered(spark, clustered):
     )
     recall = hits / N
     assert recall >= 0.8, f"clustered multi-probe LSH recall@1 = {recall}"
+
+
+def test_lsh_probe_sweep_monotone_clustered(spark, clustered):
+    """The probe-indexed LSH sweep (r5): recall@1 from `probe <= p` must be
+    non-decreasing in p (nested candidate sets) and the widest sweep point
+    must match the fixed-probe lsh_top1 it replaced — one scoring pass, no
+    behavior drift."""
+    from pyspark.sql import functions as F
+
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.similarity import (
+        LSH_PROBE_SWEEP,
+        lsh_planes_for,
+        lsh_scored_sweep,
+        lsh_top1,
+        _unpack_top1,
+    )
+
+    d, g = clustered
+    best_cos = g.max(axis=1)
+    e = table(spark, d, "embeddings").select("vec_id", "embedding")
+    n_planes = lsh_planes_for(N)
+    sweep = lsh_scored_sweep(
+        e, n_planes, max_probes=max(LSH_PROBE_SWEEP)
+    ).localCheckpoint()
+
+    def recall_at(p: int) -> float:
+        top1 = _unpack_top1(
+            sweep.filter(F.col("probe") <= p)
+            .groupBy("vec_a")
+            .agg(F.max("ord").alias("ord"))
+        )
+        got = {r["vec_a"]: r["cos"] for r in top1.collect()}
+        hits = sum(1 for v in range(N) if got.get(v, -2.0) >= best_cos[v] - 1e-9)
+        return hits / N
+
+    recalls = [recall_at(p) for p in LSH_PROBE_SWEEP]
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] >= 0.8, recalls
+
+    # widest sweep point ≡ the dedicated fixed-probe search
+    via_sweep = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in _unpack_top1(
+            sweep.filter(F.col("probe") <= 3)
+            .groupBy("vec_a")
+            .agg(F.max("ord").alias("ord"))
+        ).collect()
+    }
+    direct = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in lsh_top1(e, n_planes, probes=3).collect()
+    }
+    assert via_sweep == direct
