@@ -402,7 +402,10 @@ def dedup_encode_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT doc_id, line, chunk FROM ({chunks_cte()}) c",
 )
 def roundtrip_recovery_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tokens = encode_chunks_global(doc_chunks(spark, sf_dir))
+    # localCheckpoint: decode splits the token stream into literal and
+    # pointer branches — without pinning, the global encode (hash agg +
+    # equi-join) executes once per branch.
+    tokens = encode_chunks_global(doc_chunks(spark, sf_dir)).localCheckpoint()
     return decode_tokens_global(tokens)
 
 
@@ -428,7 +431,8 @@ def dedup_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"SELECT doc_id, line, chunk FROM ({chunks_cte()}) c",
 )
 def roundtrip_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tokens = encode_chunks(doc_chunks(spark, sf_dir))
+    # localCheckpoint: same two-branch decode shape as the global variant.
+    tokens = encode_chunks(doc_chunks(spark, sf_dir)).localCheckpoint()
     return decode_tokens(tokens)
 
 

@@ -380,6 +380,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints within hamming 3 must agree on ≥1 whole byte (pigeonhole) —
     equi-join on (band, byte), then verify the true distance on candidates.
     Candidates are ~n/256 per band value instead of n²/2."""
+    # No localCheckpoint here: both band-join sides derive from the same
+    # subplan, and Spark's ReusedExchange already computes the fingerprint
+    # pipeline once (measured — pinning added a barrier with zero gain;
+    # contrast decode's literal/pointer FILTER branches, which cannot
+    # exchange-reuse and do warrant the checkpoint in roundtrip_recovery*).
     sim = text_simhash32(spark, sf_dir)
     bands = sim.select(
         "doc_id",
