@@ -20,8 +20,53 @@ from sabd_deduplicator_spark.sources.multimodal import (
 )
 
 
-@query("media_feature_extract")  # binary feature extraction → rows-only check
+_BLOBS_CTE = (
+    # mirrors sources/multimodal.synthesize_media_blobs' derivation
+    "SELECT doc_id AS blob_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, "
+    "encode(text) AS payload, text, "
+    "CAST(n_chars % 640 AS INT) AS meta_width, "
+    "CAST((n_chars * 7) % 480 AS INT) AS meta_height "
+    "FROM documents"
+)
+
+
+@query(
+    "media_feature_extract",
+    oracle=(
+        # Byte stats via hex-pair explosion: avg of exact small integers in
+        # float64 is order-independent (sums < 2^53), so DuckDB's avg and
+        # the kernel's numpy mean agree BIT-exactly (verified). dims fall
+        # back to catalog metadata because the synthetic payloads are text
+        # bytes — deterministic on this corpus (on a real image corpus the
+        # dims columns come from the decoder and only media_image_dims
+        # stays oracle-checkable).
+        "WITH blobs AS (" + _BLOBS_CTE + "), "
+        "bytes AS (SELECT blob_id, "
+        "  CAST(('0x' || substring(hex(payload), CAST(2*i+1 AS INT), 2)) AS INT) AS b "
+        "  FROM (SELECT blob_id, payload, "
+        "        unnest(range(0, octet_length(payload))) AS i FROM blobs)), "
+        "stats AS (SELECT blob_id, avg(CAST(b AS DOUBLE)) AS mean_byte, "
+        "  CAST(max(b) AS INT) AS max_byte FROM bytes GROUP BY blob_id) "
+        "SELECT b.blob_id, b.media_type, "
+        "CAST(octet_length(b.payload) AS BIGINT) AS n_bytes, "
+        "md5(b.text) AS payload_md5, "
+        "COALESCE(s.mean_byte, 0.0) AS mean_byte, "
+        "CAST(COALESCE(s.max_byte, 0) AS INT) AS max_byte, "
+        "b.meta_width AS width, b.meta_height AS height "
+        "FROM blobs b LEFT JOIN stats s ON s.blob_id = b.blob_id"
+    ),
+)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary feature extraction (extract_media_features).
+    Rows-only from rounds 1-4; r5 adds a FULL value oracle: every output
+    column of the kernel is re-derivable in DuckDB on the synthetic corpus
+    — payload_md5 = md5 of the text bytes, byte stats via hex-pair
+    explosion (bit-exact float agreement argued in the oracle comment),
+    dims via the deterministic metadata fallback (the payloads are not
+    decodable containers; the REAL header-walk path is separately
+    value-checked by media_image_dims)."""
     return extract_media_features(synthesize_media_blobs(spark, sf_dir))
 
 
