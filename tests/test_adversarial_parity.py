@@ -39,6 +39,8 @@ SUBSET = [
     "set_ops_bag_semantics",
     "window_first_last_frames",
     "streaming_dedup_distinct",
+    "approx_distinct_kmv",     # rank-to-kth-hash: exactly the order-sensitive shape
+    "media_feature_extract",   # Arrow kernel vs SQL byte stats, float-bit-exact
 ]
 
 
