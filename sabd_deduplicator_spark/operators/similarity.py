@@ -1130,6 +1130,44 @@ _MINHASH_ORACLE = (
 )
 
 
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, x, y) banded-MinHash bucket keys from a (doc_id, sh)
+    shingle relation — the codegen-friendly batch shape: one hash aggregate
+    computes all k signature minima map-side-partial, then a 4-way struct
+    explode emits the r=2 band keys. Shared by minhash_lsh_neardup and the
+    batch side of streaming_neardup_dedup (whose STREAMING side must compute
+    the identical keys with per-row expressions — see
+    streaming/registered.py::_doc_band_rows)."""
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{k // 4}|"), F.col("sh"))),
+                    1 + 8 * (k % 4),
+                    8,
+                )
+            ).alias(f"h{k}")
+            for k in range(MINHASH_PERMS)
+        ]
+    )
+    n_bands = MINHASH_PERMS // BAND_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{b * BAND_ROWS}").alias("x"),
+                        F.col(f"h{b * BAND_ROWS + 1}").alias("y"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.x", "bv.y")
+
+
 @query("minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup, built natively from expressions:
@@ -1154,34 +1192,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is JVM-side; the verify join touches only candidates.
     """
     sh = doc_shingles(spark, sf_dir)  # (doc_id, sh) distinct shingles
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{k // 4}|"), F.col("sh"))),
-                    1 + 8 * (k % 4),
-                    8,
-                )
-            ).alias(f"h{k}")
-            for k in range(MINHASH_PERMS)
-        ]
-    )
-    n_bands = MINHASH_PERMS // BAND_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"h{b * BAND_ROWS}").alias("x"),
-                        F.col(f"h{b * BAND_ROWS + 1}").alias("y"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "bv.band", "bv.x", "bv.y")
+    bands = minhash_bands(sh)
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
     r = bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y")
     cand = (

@@ -418,3 +418,149 @@ def streaming_refcount_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("refs_num"))
     )
     return _drain(agg, "complete")
+
+
+# --- streaming near-dup dedup (online MinHash-band ingestion filter) --------
+
+# Per-row shingle/signature expressions. The BATCH MinHash path
+# (operators/similarity.py::minhash_lsh_neardup) computes signatures with an
+# explode + hash-aggregate — the codegen-friendly shape. A streaming
+# ingestion filter cannot: per-doc signature min (groupBy doc_id) followed by
+# per-bucket representative min (groupBy band) would be two CHAINED streaming
+# aggregations, which Structured Streaming does not support. Instead the
+# signature is computed entirely in the ingest PROJECTION with higher-order
+# array functions — exactly what a production online-dedup pipeline does:
+# hash the document once at ingest, carry only its 4 band keys into state.
+# Same md5-slice permutations as the batch sketch (_minhash_slice_sql):
+# dig = md5('0|'||sh) || md5('1|'||sh), slice k = 8 hex chars at 1+8k.
+_SH_ARR_EXPR = (
+    "array_distinct(CASE WHEN size(s) < 2 THEN array() "
+    "ELSE transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1])) END)"
+)
+_DIG_EXPR = "transform(sh_arr, t -> concat(md5(concat('0|', t)), md5(concat('1|', t))))"
+
+
+def _doc_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, x, y) band-key rows from (doc_id, text), computed with
+    PER-ROW expressions only (streaming-projection safe; also used on the
+    batch side of streaming_neardup_dedup so both sides share one
+    definition). Docs with <2 tokens have no shingles -> null signatures ->
+    filtered out (they occupy no bucket and are trivially kept)."""
+    from sabd_deduplicator_spark.operators.similarity import BAND_ROWS, MINHASH_PERMS
+
+    d = (
+        docs.withColumn("s", F.split("text", " "))
+        .withColumn("sh_arr", F.expr(_SH_ARR_EXPR))
+        .withColumn("dig", F.expr(_DIG_EXPR))
+    )
+    for k in range(MINHASH_PERMS):
+        d = d.withColumn(
+            f"h{k}",
+            F.expr(f"array_min(transform(dig, dg -> substring(dg, {1 + 8 * k}, 8)))"),
+        )
+    n_bands = MINHASH_PERMS // BAND_ROWS
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"h{b * BAND_ROWS}").alias("x"),
+                            F.col(f"h{b * BAND_ROWS + 1}").alias("y"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bv"),
+        )
+        .select("doc_id", "bv.band", "bv.x", "bv.y")
+        .filter(F.col("x").isNotNull())
+    )
+
+
+def _stream_neardup_oracle() -> str:
+    from sabd_deduplicator_spark.operators.similarity import (
+        _MINHASH_BANDS_SQL,
+        _SHINGLES_SQL,
+        MINHASH_PERMS,
+        _minhash_slice_sql,
+    )
+
+    sig_cols = ", ".join(
+        f"min({_minhash_slice_sql(k)}) AS h{k}" for k in range(MINHASH_PERMS)
+    )
+    return (
+        "WITH sh AS (" + _SHINGLES_SQL + "), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id), "
+        "bands AS (" + _MINHASH_BANDS_SQL + "), "
+        "reps AS (SELECT band, x, y, min(doc_id) AS rep "
+        "  FROM bands GROUP BY band, x, y), "
+        "dom AS (SELECT DISTINCT b.doc_id FROM bands b JOIN reps r "
+        "  ON b.band = r.band AND b.x = r.x AND b.y = r.y "
+        "  WHERE r.rep < b.doc_id) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM dom)"
+    )
+
+
+@query("streaming_neardup_dedup", oracle=_stream_neardup_oracle())
+def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-duplicate dedup: the streaming twin of
+    minhash_lsh_neardup, i.e. MinHash-band dedup applied DURING ingestion
+    rather than as a batch sweep (the generalization of the reference's
+    cross-batch exact-hash probe, /root/reference/lib/deduplicator/hash.ex
+    :66-79, to NEAR duplicates). Each arriving document is hashed once in
+    the ingest projection (4 band keys from the md5-slice MinHash sketch);
+    the state store accumulates min(doc_id) per band bucket across
+    micro-batches; a document survives iff it is the representative of
+    EVERY bucket it occupies — the standard greedy bucket-representative
+    dedup, made order-independent (and hence fully oracle-checkable, rare
+    for a streaming near-dup operator) by keying on min doc_id instead of
+    arrival time.
+
+    Scale shape: state is one row per DISTINCT band bucket (sub-linear in
+    corpus size for any corpus with duplication), the per-doc work is O(1)
+    band keys carried into ONE streaming aggregation, and the final
+    keep/drop decision is an equi-join on bucket keys + left_anti — no
+    pairwise candidate join at all on the streaming path. At 100 TB the
+    rep table is the persistent dedup index an ingestion service keeps;
+    the availableNow drain here proves the cross-batch state semantics."""
+    staged = _stage(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        n_files=4,
+        key=f"{sf_dir}:documents:id_text:4",
+        src_path=f"{sf_dir}/documents.parquet",
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    # Each micro-batch is ONE staged file = one input task; fan the rows out
+    # before the (per-row md5 HOF) hashing projection or it runs single-core
+    # per batch. The state partition count stays _drain's concern.
+    reps = (
+        _doc_band_rows(src.repartition(8))
+        .groupBy("band", "x", "y")
+        .agg(F.min("doc_id").alias("rep"))
+    )
+    rep_tbl = _drain(reps, "complete")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # Batch side of the keep/drop decision: same band keys, but derived via
+    # the codegen-friendly explode + hash-aggregate shape (shared with
+    # minhash_lsh_neardup) rather than the stream's per-row HOF projection.
+    from sabd_deduplicator_spark.operators.similarity import (
+        doc_shingles,
+        minhash_bands,
+    )
+
+    dom = (
+        minhash_bands(doc_shingles(spark, sf_dir))
+        .join(rep_tbl, ["band", "x", "y"])
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.select("doc_id").join(dom, "doc_id", "left_anti")
