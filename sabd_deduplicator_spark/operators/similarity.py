@@ -1130,15 +1130,12 @@ _MINHASH_ORACLE = (
 )
 
 
-def minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, x, y) banded-MinHash bucket keys from a (doc_id, sh)
-    shingle relation — the codegen-friendly batch shape: one hash aggregate
-    computes all k signature minima map-side-partial, then a 4-way struct
-    explode emits the r=2 band keys. Shared by minhash_lsh_neardup and the
-    batch side of streaming_neardup_dedup (whose STREAMING side must compute
-    the identical keys with per-row expressions — see
-    streaming/registered.py::_doc_band_rows)."""
-    sig = sh.groupBy("doc_id").agg(
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}) md5-slice MinHash signatures from a (doc_id, sh)
+    shingle relation: ONE hash aggregate computes all k minima with map-side
+    partials (the skew defense — a viral doc's shingles collapse before the
+    shuffle)."""
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(
@@ -1150,6 +1147,23 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
             for k in range(MINHASH_PERMS)
         ]
     )
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, x, y) banded-MinHash bucket keys from a (doc_id, sh)
+    shingle relation — the codegen-friendly batch shape: one hash aggregate
+    computes all k signature minima map-side-partial, then a 4-way struct
+    explode emits the r=2 band keys. Shared by minhash_lsh_neardup and the
+    batch side of streaming_neardup_dedup (whose STREAMING side must compute
+    the identical keys with per-row expressions — see
+    streaming/registered.py::_doc_band_rows)."""
+    return minhash_bands_from_sig(minhash_signatures(sh))
+
+
+def minhash_bands_from_sig(sig: DataFrame) -> DataFrame:
+    """Band explode over a precomputed (doc_id, h0..h{k-1}) signature
+    relation — split out so callers that also need the raw signatures
+    (minhash_estimate_accuracy) compute them once."""
     n_bands = MINHASH_PERMS // BAND_ROWS
     return sig.select(
         "doc_id",
@@ -1247,4 +1261,106 @@ def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
+    )
+
+_EST_SQL = "(" + " + ".join(
+    f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(MINHASH_PERMS)
+) + f") / {float(MINHASH_PERMS)}"
+
+_MINHASH_ACCURACY_ORACLE = (
+    "WITH sh AS (" + _SHINGLES_SQL + "), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min({_minhash_slice_sql(k)}) AS h{k}" for k in range(MINHASH_PERMS)
+    )
+    + " FROM sh GROUP BY doc_id), "
+    "bands AS (" + _MINHASH_BANDS_SQL + "), "
+    "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+    "  FROM bands l JOIN bands r ON l.band = r.band AND l.x = r.x "
+    "  AND l.y = r.y AND l.doc_id < r.doc_id), "
+    f"est AS (SELECT c.doc_a, c.doc_b, {_EST_SQL} AS est "
+    "  FROM cand c JOIN sig a ON a.doc_id = c.doc_a "
+    "  JOIN sig b ON b.doc_id = c.doc_b), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c "
+    "  JOIN sh a ON a.doc_id = c.doc_a "
+    "  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh "
+    "  GROUP BY c.doc_a, c.doc_b) "
+    "SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est_jaccard, "
+    "round(CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)), 6) "
+    "  AS jaccard, "
+    "round(abs(e.est - CAST(COALESCE(i.i, 0) AS DOUBLE) "
+    "  / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err "
+    "FROM est e "
+    "LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b "
+    "JOIN sz sa ON sa.doc_id = e.doc_a "
+    "JOIN sz sb ON sb.doc_id = e.doc_b"
+)
+
+
+@query("minhash_estimate_accuracy", oracle=_MINHASH_ACCURACY_ORACLE)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality report: for every banded-MinHash candidate pair,
+    the Jaccard ESTIMATE the sketch implies (fraction of the k=8 signature
+    minima that agree) next to the EXACT shingle Jaccard and the absolute
+    error — the MinHash twin of ann_recall_vs_exact, but fully
+    oracle-checkable because the md5-slice sketch is portable SQL (unlike
+    float recall grading). This is the per-round evidence that the sketch's
+    error stays within the 1/sqrt(k) band the banding thresholds assume.
+
+    Scale shape: signatures and sizes are one hash aggregate each over the
+    shingle relation; the estimate join touches only CANDIDATE pairs (the
+    band join's output, not all pairs), and exact verification is likewise
+    candidate-bounded — the same O(candidates) budget minhash_lsh_neardup
+    already pays, reusing the identical helpers."""
+    sh = doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    bands = minhash_bands_from_sig(sig)
+    l = bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+    r = bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y")
+    cand = (
+        l.join(r, ["band", "x", "y"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(MINHASH_PERMS)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(MINHASH_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
+        for k in range(MINHASH_PERMS)
+    )
+    est = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", (agree / float(MINHASH_PERMS)).alias("est"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j1 = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+    inter = (
+        j1.join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jac", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    return jac.select(
+        "doc_a",
+        "doc_b",
+        F.round("est", 6).alias("est_jaccard"),
+        F.round("jac", 6).alias("jaccard"),
+        F.round(F.abs(F.col("est") - F.col("jac")), 6).alias("abs_err"),
     )
