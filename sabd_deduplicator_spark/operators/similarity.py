@@ -1134,15 +1134,28 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, h0..h{k-1}) md5-slice MinHash signatures from a (doc_id, sh)
     shingle relation: ONE hash aggregate computes all k minima with map-side
     partials (the skew defense — a viral doc's shingles collapse before the
-    shuffle)."""
+    shuffle).
+
+    Each 8-hex-char slice is converted to its numeric value (conv base
+    16→10, fits a long: max ffffffff) BEFORE the min: fixed-width lowercase
+    hex is order-isomorphic to its integer value, so the same shingle
+    attains the minimum and band equality is unchanged — but min(long)
+    stays a HashAggregate (min(string) needs a string buffer and falls to
+    SortAggregate; plan-gated in tests/test_plans.py), and the band join
+    keys shrink to 8 bytes. The DuckDB oracles keep the string min — the
+    isomorphism is exactly why both dialects still agree."""
     return sh.groupBy("doc_id").agg(
         *[
             F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{k // 4}|"), F.col("sh"))),
-                    1 + 8 * (k % 4),
-                    8,
-                )
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{k // 4}|"), F.col("sh"))),
+                        1 + 8 * (k % 4),
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
             ).alias(f"h{k}")
             for k in range(MINHASH_PERMS)
         ]

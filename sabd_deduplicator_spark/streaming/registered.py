@@ -453,10 +453,16 @@ def _doc_band_rows(docs: DataFrame) -> DataFrame:
         .withColumn("sh_arr", F.expr(_SH_ARR_EXPR))
         .withColumn("dig", F.expr(_DIG_EXPR))
     )
+    # conv-to-long before the min, mirroring minhash_signatures (fixed-width
+    # hex is order-isomorphic to its numeric value) so the streamed band
+    # keys join the batch-derived ones type-identically.
     for k in range(MINHASH_PERMS):
         d = d.withColumn(
             f"h{k}",
-            F.expr(f"array_min(transform(dig, dg -> substring(dg, {1 + 8 * k}, 8)))"),
+            F.expr(
+                "array_min(transform(dig, dg -> "
+                f"cast(conv(substring(dg, {1 + 8 * k}, 8), 16, 10) as bigint)))"
+            ),
         )
     n_bands = MINHASH_PERMS // BAND_ROWS
     return (

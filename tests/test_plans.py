@@ -176,6 +176,28 @@ def test_minhash_stays_jvm_side_equi_joins(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+    # conv-to-long signatures keep the k-way min a HashAggregate
+    assert "SortAggregate" not in plan
+
+
+def test_minhash_accuracy_report_stays_candidate_bounded(spark, sf_dir):
+    """The sketch-error report must pay the same O(candidates) budget as
+    minhash_lsh_neardup: equi-joins only (band join + candidate-keyed
+    signature/shingle joins), no nested-loop, no Python, hash aggregates."""
+    plan = formatted_plan(q("minhash_estimate_accuracy", spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_streaming_neardup_batch_side_is_anti_join(spark, sf_dir):
+    """streaming_neardup_dedup's keep/drop decision (the batch side over the
+    drained rep table) must be bucket equi-join + LeftAnti — never a
+    pairwise candidate product."""
+    df = q("streaming_neardup_dedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
 
 
 def test_media_image_dims_is_narrow_linear_scan(spark, sf_dir):
