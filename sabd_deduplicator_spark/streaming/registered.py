@@ -570,3 +570,48 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return docs.select("doc_id").join(dom, "doc_id", "left_anti")
+
+
+@query(
+    "streaming_dedup_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark — the
+    100-TB posture for an always-on dedup stream, where
+    streaming_dedup_distinct's plain dropDuplicates state would grow without
+    bound. State for a key is evicted once the watermark passes its event
+    time + delay, so memory is O(keys-within-delay), not O(all keys ever).
+
+    The dedup guarantee is correspondingly scoped: duplicates are dropped
+    only if they arrive within the delay of the first occurrence. For the
+    ORACLE to be exact the drain derives its delay from the staged table's
+    full event-time span (memoized _events_span_seconds, the same device as
+    streaming_attribution_join) — no state expires mid-drain, so the
+    emitted set equals batch DISTINCT and the query is fully
+    value-checkable. Production would dial the delay down to the real
+    late-data bound; the operator and plan are identical.
+    """
+    from sabd_deduplicator_spark.catalog import table
+
+    staged = _stage(
+        table(spark, sf_dir, "events").select("ts", "user_id", "event_type"),
+        n_files=4,
+        key=f"{sf_dir}:events:ts_user_type:4",
+        src_path=f"{sf_dir}/events.parquet",
+    )
+    src = (
+        spark.readStream.schema("ts timestamp_ntz, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    delay = _events_span_seconds(spark, sf_dir) + 3600
+    ded = (
+        # watermarks demand TIMESTAMP (not NTZ); session TZ is UTC so the
+        # cast is value-preserving
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{delay} seconds")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain(ded, "append")
