@@ -550,3 +550,72 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
     )
+
+
+# --- context-window chunking (embedding / RAG / training-sample prep) -------
+
+CHUNK_TOKENS = 64   # W: tokens per context window
+CHUNK_STRIDE = 48   # S: window start step (overlap = W - S = 16 tokens)
+
+
+@query(
+    "doc_context_chunks",
+    oracle=(
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents "
+        "  WHERE text IS NOT NULL), "
+        "e AS (SELECT doc_id, s, len(s) AS n, "
+        f"  unnest(range(0, ((greatest(len(s) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) "
+        f"    // {CHUNK_STRIDE}) + 1)) AS i FROM d) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_ord, "
+        f"CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_token, "
+        f"CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens, "
+        f"array_to_string(s[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') "
+        "  AS chunk_text "
+        "FROM e"
+    ),
+)
+def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunker: split each document into overlapping
+    W=64-token windows stepped by S=48 (16-token overlap) — the
+    tokenizer-granularity twin of the reference's fixed-BYTE chunk scan
+    (lib/deduplicator.ex:58-66, chunk_size bytes, no overlap), and the
+    shape every embedding/RAG/training-sample pipeline runs: overlap
+    preserves cross-boundary context, the trailing partial window is kept.
+
+    Chunk count per doc is 1 + ceil(max(n-W,0)/S), computed arithmetically
+    (never a filter over all positions), so the generator array is exactly
+    chunk-sized. Pure per-row expressions: split → sequence → explode →
+    slice/array_join. ZERO Exchanges (plan-gated) — at 100 TB this is an
+    embarrassingly parallel map over the corpus, and the ~1.33x token
+    amplification (W/S) is the deliberate overlap cost."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("s", F.split("text", " "))
+        .withColumn("n", F.size("s"))
+    )
+    n_chunks = F.expr(
+        f"((greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}) + 1"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "s",
+            "n",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_ord"),
+            (F.col("i") * CHUNK_STRIDE).cast("long").alias("start_token"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("i") * CHUNK_STRIDE
+            ).cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    "s", F.col("i") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -180,6 +180,15 @@ def test_minhash_stays_jvm_side_equi_joins(spark, sf_dir):
     assert "SortAggregate" not in plan
 
 
+def test_context_chunker_is_shuffle_free(spark, sf_dir):
+    """The sliding context-window chunker must stay an embarrassingly
+    parallel map: per-row split/sequence/explode/slice, ZERO Exchanges."""
+    df = q("doc_context_chunks", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_minhash_accuracy_report_stays_candidate_bounded(spark, sf_dir):
     """The sketch-error report must pay the same O(candidates) budget as
     minhash_lsh_neardup: equi-joins only (band join + candidate-keyed
