@@ -619,3 +619,46 @@ def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+@query(
+    "context_chunk_dedup_stats",
+    oracle=(
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents "
+        "  WHERE text IS NOT NULL), "
+        "e AS (SELECT doc_id, s, len(s) AS n, "
+        f"  unnest(range(0, ((greatest(len(s) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) "
+        f"    // {CHUNK_STRIDE}) + 1)) AS i FROM d), "
+        "c AS (SELECT doc_id, "
+        f"  md5(array_to_string(s[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) "
+        "    AS h FROM e), "
+        "per AS (SELECT h, count(*) AS refs_num, count(DISTINCT doc_id) AS n_docs, "
+        "  min(doc_id) AS first_doc FROM c GROUP BY h) "
+        "SELECT h AS chunk_hash, refs_num, n_docs, first_doc FROM per "
+        "WHERE refs_num > 1"
+    ),
+)
+def context_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dedup rule applied at CONTEXT-WINDOW granularity:
+    hash every sliding token window (doc_context_chunks) and report the
+    repeated ones with their reference counts, spanning-doc counts, and
+    first-occurrence owner — chunk_scan + hash_links
+    (lib/deduplicator.ex:58-119) recomposed over token windows instead of
+    byte chunks, which is exactly what window-level train-data dedup
+    (dropping repeated boilerplate windows across documents) computes.
+
+    Same scale shape as dedup_hash_links: the chunker is shuffle-free, then
+    ONE hash aggregate on the window hash with map-side partials absorbing
+    hot (boilerplate) windows; count(DISTINCT doc_id) rides the same
+    shuffle as a two-level aggregate."""
+    chunks = doc_context_chunks(spark, sf_dir).select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    )
+    per = chunks.groupBy("h").agg(
+        F.count("*").alias("refs_num"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return per.filter(F.col("refs_num") > 1).select(
+        F.col("h").alias("chunk_hash"), "refs_num", "n_docs", "first_doc"
+    )
