@@ -491,3 +491,54 @@ def doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qs[2], 6).alias("p75"),
         F.round(qs[3], 6).alias("p95"),
     )
+
+
+DISTINCTIVE_TOP_K = 3
+
+
+@query(
+    "doc_top_distinctive_terms",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "  FROM documents WHERE text IS NOT NULL), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+        "ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "  row_number() OVER (PARTITION BY tf.doc_id "
+        "    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk "
+        "  FROM tf JOIN df USING (term)) "
+        f"SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= {DISTINCTIVE_TOP_K}"
+    ),
+)
+def doc_top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive-term extraction, INTEGER-exact: rank each
+    doc's terms by (term frequency desc, document frequency asc, term asc)
+    and keep the top k — the tf-idf ordering computed without the idf
+    logarithm. ln() is not correctly-rounded across math libraries, so a
+    float tf-idf could diverge between Spark (java.lang.Math) and DuckDB
+    (libm) in the last bit; ranking by the (tf, -df) ORDER instead ranks
+    identically to tf * idf for any monotone idf at equal tf, and keeps
+    every compared value a long — the same integer-exactness discipline as
+    the long-cents q1 rewrite.
+
+    Scale shape: one shuffle for tf (doc,term), one for df (term) — df is a
+    vocabulary-sized relation, orders of magnitude smaller than the corpus,
+    joined back on term; the rank window partitions by doc_id, so no global
+    single-partition window. Full tie-break chain makes the output
+    deterministic under any partitioning (adversarial-config safe)."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= DISTINCTIVE_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )

@@ -42,6 +42,7 @@ SUBSET = [
     "approx_distinct_kmv",     # rank-to-kth-hash: exactly the order-sensitive shape
     "media_feature_extract",   # Arrow kernel vs SQL byte stats, float-bit-exact
     "streaming_neardup_dedup", # cross-batch band-bucket state + per-row HOF sketch
+    "doc_top_distinctive_terms",  # rank window with full tie-break chain
 ]
 
 
