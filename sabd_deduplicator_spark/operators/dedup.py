@@ -298,3 +298,58 @@ def dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hashes"),
         F.countDistinct("hash").alias("n_distinct"),
     )
+
+
+SNAPSHOT_MOD = 10  # "yesterday" = doc_id % 10 != 9 (deterministic stand-in)
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=(
+        "WITH prev AS (SELECT DISTINCT md5(text) AS hash FROM documents "
+        f"  WHERE doc_id % {SNAPSHOT_MOD} <> {SNAPSHOT_MOD - 1}), "
+        "cur AS (SELECT DISTINCT md5(text) AS hash FROM documents) "
+        "SELECT CASE WHEN p.hash IS NULL THEN 'added' "
+        "            WHEN c.hash IS NULL THEN 'removed' "
+        "            ELSE 'retained' END AS status, "
+        "count(*) AS n_hashes "
+        "FROM cur c FULL OUTER JOIN prev p ON c.hash = p.hash "
+        "GROUP BY 1"
+    ),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff by CONTENT hash: classify every
+    distinct document hash as added / removed / retained between two corpus
+    snapshots — the bookkeeping every incremental ingestion run does before
+    deciding what to (re)process, and the set-level generalization of the
+    reference's "which chunks are new" probe (lib/deduplicator/hash.ex:
+    91-93, the IN-list that merge_hash_links/anti_join_new_hashes already
+    cover row-level). "Yesterday" is a deterministic doc_id-slice stand-in
+    (% 10 != 9) so the query is reproducible and oracle-checkable.
+
+    Scale shape: two distinct-hash sets (hash aggregates with map-side
+    partials — duplicated content collapses before the shuffle), one
+    full-outer hash join on the hash, and a 3-row classification aggregate.
+    At 100 TB both sides would be the stored hash indexes of the two
+    snapshots (bucketed on hash — the join is then co-located and
+    shuffle-free, the same posture as merge_hash_links_onto_index)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    cur = docs.select(F.md5("text").alias("hash")).distinct()
+    prev = (
+        docs.filter(F.col("doc_id") % SNAPSHOT_MOD != SNAPSHOT_MOD - 1)
+        .select(F.md5("text").alias("hash"))
+        .distinct()
+    )
+    joined = cur.withColumn("c", F.lit(1)).join(
+        prev.withColumn("p", F.lit(1)), "hash", "full_outer"
+    )
+    return (
+        joined.select(
+            F.when(F.col("p").isNull(), F.lit("added"))
+            .when(F.col("c").isNull(), F.lit("removed"))
+            .otherwise(F.lit("retained"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_hashes"))
+    )
