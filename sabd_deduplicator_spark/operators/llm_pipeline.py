@@ -662,3 +662,75 @@ def context_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.filter(F.col("refs_num") > 1).select(
         F.col("h").alias("chunk_hash"), "refs_num", "n_docs", "first_doc"
     )
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=(
+        "WITH dt AS ("
+        "  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf FROM ("
+        "    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+        "    FROM documents) GROUP BY doc_id, lang, token), "
+        "vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM dt "
+        "  GROUP BY token), "
+        "tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM vocab) "
+        "SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tok, "
+        "round(sum(tf * -ln(cf / total)) / sum(tf), 6) AS cross_entropy, "
+        "round(sum(CASE WHEN cf = 1 THEN tf ELSE 0 END) "
+        "  / CAST(sum(tf) AS DOUBLE), 6) AS rare_ratio "
+        "FROM dt JOIN vocab USING (token) CROSS JOIN tot "
+        "GROUP BY doc_id, lang"
+    ),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality signal (Wenzek et al.
+    2020): score every document by its cross-entropy under the corpus's own
+    unigram distribution, plus the fraction of token mass that is hapax
+    (corpus frequency 1) — the two classic "is this gibberish?" signals a
+    pre-training corpus build runs before perplexity-bucketed sampling.
+    Extends the reference's frequency bookkeeping (refs_num,
+    lib/deduplicator.ex:84-119) from chunk counts to a token LM.
+
+    Plan shape (the part that must survive 100 TB):
+      1. explode tokens -> aggregate to (doc_id, token, tf). Map-side
+         partial combine absorbs within-doc repeats before the shuffle, so
+         shuffle volume is distinct (doc, token) pairs, not raw token mass.
+      2. vocab = ONE further hash aggregate of those pairs on token; the
+         corpus-total scalar is a single-row `.first()` aggregate folded
+         into the plan as a literal (the package's scalar-aggregate
+         convention — a 1-row crossJoin would plan as a
+         BroadcastNestedLoopJoin for no benefit).
+      3. join (doc,token,tf) back to vocab on token — an equi-join whose
+         build side is the vocabulary (~100M rows at 100 TB: a standard
+         shuffled hash join; hot stopword keys are bounded because the probe
+         side is already per-doc-distinct, at most one row per doc per
+         token).
+      4. ONE final per-doc hash aggregate recombines tf-weighted -ln p.
+    Cross-entropy is in nats, rounded to 6 dp on both engines (double ulp
+    noise is ~1e-13 for a few-hundred-term sum)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    dt = (
+        d.select("doc_id", "lang", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = dt.groupBy("token").agg(F.sum("tf").alias("cf"))
+    total = float(
+        vocab.agg(F.sum("cf").cast("double").alias("total")).first()["total"]
+    )
+    scored = dt.join(vocab, "token")
+    p = F.col("cf").cast("double") / F.lit(total)
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(p)) / F.sum("tf"), 6
+            ).alias("cross_entropy"),
+            F.round(
+                F.sum(F.when(F.col("cf") == 1, F.col("tf")).otherwise(0))
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("rare_ratio"),
+        )
+    )

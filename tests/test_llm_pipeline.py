@@ -162,3 +162,42 @@ def test_build_training_corpus_matches_funnel_query(spark, sf_dir):
     assert (
         clean.join(docs, "doc_id", "left_anti").count() == 0
     )
+
+
+def test_unigram_logprob_mass_weighted_mean_is_corpus_entropy(spark, sf_dir):
+    """The token-mass-weighted mean of per-doc cross-entropy must equal the
+    corpus unigram entropy H = -sum_t p_t ln p_t (both average the same
+    -ln p over the same token mass) — a cross-aggregation identity the
+    per-row oracle can't see. Also: rare_ratio in [0,1], cross_entropy >= 0,
+    and n_tok sums to the corpus token mass."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import doc_unigram_logprob
+
+    res = doc_unigram_logprob(spark, sf_dir)
+    bad = res.filter(
+        (F.col("rare_ratio") < 0)
+        | (F.col("rare_ratio") > 1)
+        | (F.col("cross_entropy") < 0)
+    ).count()
+    assert bad == 0
+
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    freq = (
+        d.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cf"))
+    )
+    total = freq.agg(F.sum("cf").cast("double").alias("t")).first()["t"]
+    h = freq.agg(
+        F.sum(
+            (F.col("cf") / F.lit(total)) * -F.log(F.col("cf") / F.lit(total))
+        ).alias("h")
+    ).first()["h"]
+    agg = res.agg(
+        (F.sum(F.col("cross_entropy") * F.col("n_tok")) / F.sum("n_tok")).alias(
+            "weighted_ce"
+        ),
+        F.sum("n_tok").alias("mass"),
+    ).first()
+    assert agg["mass"] == int(total)
+    # per-doc values are rounded to 6 dp before re-weighting
+    assert abs(agg["weighted_ce"] - h) < 1e-5
