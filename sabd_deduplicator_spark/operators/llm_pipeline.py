@@ -734,3 +734,65 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+@query(
+    "ppl_bucket_stats",
+    oracle=(
+        "WITH dt AS ("
+        "  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf FROM ("
+        "    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+        "    FROM documents) GROUP BY doc_id, lang, token), "
+        "vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM dt "
+        "  GROUP BY token), "
+        "tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM vocab), "
+        "scored AS ("
+        "  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tok, "
+        "  round(sum(tf * -ln(cf / total)) / sum(tf), 6) AS ce "
+        "  FROM dt JOIN vocab USING (token) CROSS JOIN tot "
+        "  GROUP BY doc_id, lang), "
+        "bucketed AS ("
+        "  SELECT lang, n_tok, ce, CASE ntile(3) OVER ("
+        "    PARTITION BY lang ORDER BY ce, doc_id) "
+        "    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket "
+        "  FROM scored) "
+        "SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+        "round(avg(ce), 6) AS avg_ce, min(ce) AS min_ce, max(ce) AS max_ce "
+        "FROM bucketed GROUP BY lang, bucket"
+    ),
+)
+def ppl_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3):
+    split each language's documents into cross-entropy tertiles under the
+    corpus unigram LM (doc_unigram_logprob) and profile each bucket — the
+    report a corpus build reads before deciding how much 'tail' to keep.
+
+    Buckets are RANK tertiles (ntile over (ce, doc_id)), not float quantile
+    thresholds: the per-doc ce values already hash-match cross-engine at 6
+    dp, so the ordering — and therefore every bucket assignment — is
+    integer-exact, with no epsilon at tertile boundaries. Scale: the ntile
+    window is a per-language range-partitioned sort of DOC-level rows
+    (corpus-mass-reduced by the upstream aggregate), the same shape as
+    sequence_packing_bins' per-stream prefix sum; everything else is hash
+    aggregates."""
+    scored = doc_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "lang", "n_tok", F.col("cross_entropy").alias("ce")
+    )
+    w = Window.partitionBy("lang").orderBy("ce", "doc_id")
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.select("lang", "n_tok", "ce", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.round(F.avg("ce"), 6).alias("avg_ce"),
+            F.min("ce").alias("min_ce"),
+            F.max("ce").alias("max_ce"),
+        )
+    )

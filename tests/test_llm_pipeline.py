@@ -201,3 +201,27 @@ def test_unigram_logprob_mass_weighted_mean_is_corpus_entropy(spark, sf_dir):
     assert agg["mass"] == int(total)
     # per-doc values are rounded to 6 dp before re-weighting
     assert abs(agg["weighted_ce"] - h) < 1e-5
+
+
+def test_ppl_buckets_are_balanced_tertiles(spark, sf_dir):
+    """Rank-tertile invariant the per-row oracle can't see: within every
+    language the three buckets' doc counts differ by at most 1, cover all
+    docs of that language, and bucket CE ranges are ordered
+    head <= middle <= tail."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import ppl_bucket_stats
+
+    rows = ppl_bucket_stats(spark, sf_dir)
+    per_lang = {}
+    for r in rows.toLocalIterator():
+        per_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    d = table(spark, sf_dir, "documents")
+    lang_counts = {
+        r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).toLocalIterator()
+    }
+    for lang, buckets in per_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        counts = [buckets[b]["n_docs"] for b in ("head", "middle", "tail")]
+        assert max(counts) - min(counts) <= 1
+        assert sum(counts) == lang_counts[lang]
+        assert buckets["head"]["max_ce"] <= buckets["middle"]["min_ce"]
+        assert buckets["middle"]["max_ce"] <= buckets["tail"]["min_ce"]
