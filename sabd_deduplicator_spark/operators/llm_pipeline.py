@@ -796,3 +796,76 @@ def ppl_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ce").alias("max_ce"),
         )
     )
+
+
+@query(
+    "split_leakage_report",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "  FROM documents), "
+        "spans AS (SELECT doc_id, unnest(list_transform("
+        "  range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)), "
+        "  i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS span "
+        "  FROM toks), "
+        "g AS (SELECT md5(span) AS h, CASE "
+        f"  WHEN {_hex_bucket_sql('doc_id')} < 204 THEN 'train' "
+        f"  WHEN {_hex_bucket_sql('doc_id')} < 230 THEN 'val' "
+        "  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n "
+        "  FROM spans GROUP BY 1, 2) "
+        "SELECT a.split AS split_a, b.split AS split_b, "
+        "CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(sum(a.n + b.n) AS BIGINT) AS n_occurrences, "
+        "CAST(max(a.n + b.n) AS BIGINT) AS max_span_refs "
+        "FROM g a JOIN g b ON a.h = b.h AND a.split < b.split "
+        "GROUP BY a.split, b.split"
+    ),
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit for the deterministic 80/10/10 split
+    (corpus_train_split): for every pair of splits, count the 8-token span
+    groups (the span-dedup granularity — md5 span identity, the reference's
+    chunk-hash rule lib/deduplicator.ex:84-119 at span_dedup_corpus's span
+    size) that occur on BOTH sides, with total occurrence mass and the
+    hottest leaked span's combined refcount. This is GPT-3-style n-gram
+    decontamination turned into an audit: non-empty rows mean eval splits
+    share memorizable token spans with train. Whole-document identity is
+    deliberately not the unit — the corpus generator produces no exact
+    full-text duplicates (verified), only near-dups, so a doc-level report
+    would be vacuously empty while span leakage is real.
+
+    Scale: the span explode is shuffle-free; ONE hash aggregate to
+    (span_hash, split, n) — at most 3 rows per distinct span, map-side
+    combine absorbing hot boilerplate spans — then a self-equi-join on the
+    span hash over the aggregate-collapsed sides (no raw span fan-out), and
+    a ≤3-row final aggregate with long-only buffers (stays
+    HashAggregate)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    g = (
+        d.select(
+            train_split_col("doc_id").alias("split"),
+            F.explode(spans).alias("span"),
+        )
+        .select("split", F.md5("span").alias("h"))
+        .groupBy("h", "split")
+        .agg(F.count("*").alias("n"))
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.col("a.n") + F.col("b.n")).alias("n_occurrences"),
+            F.max(F.col("a.n") + F.col("b.n")).alias("max_span_refs"),
+        )
+    )

@@ -225,3 +225,32 @@ def test_ppl_buckets_are_balanced_tertiles(spark, sf_dir):
         assert sum(counts) == lang_counts[lang]
         assert buckets["head"]["max_ce"] <= buckets["middle"]["min_ce"]
         assert buckets["middle"]["max_ce"] <= buckets["tail"]["min_ce"]
+
+
+def test_split_leakage_consistent_with_span_repeats(spark, sf_dir):
+    """The leakage report must be non-vacuous on this corpus (near-dup docs
+    share spans across splits by construction) and internally consistent:
+    a leaked group has >= 1 occurrence on each side, so n_occurrences >=
+    2 * n_groups and max_span_refs >= 2; and no pair can claim more groups
+    than there are cross-doc repeated spans in the whole corpus."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import split_leakage_report
+
+    rows = list(split_leakage_report(spark, sf_dir).toLocalIterator())
+    assert rows, "expected span-level cross-split leakage on this corpus"
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    repeated = (
+        d.select(F.explode(spans).alias("span"))
+        .groupBy(F.md5("span").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    for r in rows:
+        assert r["split_a"] < r["split_b"]
+        assert r["n_occurrences"] >= 2 * r["n_groups"]
+        assert r["max_span_refs"] >= 2
+        assert r["n_groups"] <= repeated
