@@ -32,6 +32,10 @@ from pyspark.sql.functions import broadcast
 
 from sabd_deduplicator_spark.catalog import table
 from sabd_deduplicator_spark.operators.dedup import _packed_ordinal
+from sabd_deduplicator_spark.operators.similarity import (
+    _MINHASH_ORACLE as _MINHASH_ORACLE_SQL,
+    minhash_lsh_neardup,
+)
 from sabd_deduplicator_spark.operators.text import with_tokens
 from sabd_deduplicator_spark.registry import query
 
@@ -867,5 +871,55 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_groups"),
             F.sum(F.col("a.n") + F.col("b.n")).alias("n_occurrences"),
             F.max(F.col("a.n") + F.col("b.n")).alias("max_span_refs"),
+        )
+    )
+
+
+@query(
+    "neardup_split_leakage",
+    oracle=(
+        "WITH pairs AS ("
+        + _MINHASH_ORACLE_SQL
+        + "), lab AS (SELECT jaccard, CASE "
+        f"  WHEN {_hex_bucket_sql('doc_a')} < 204 THEN 'train' "
+        f"  WHEN {_hex_bucket_sql('doc_a')} < 230 THEN 'val' "
+        "  ELSE 'test' END AS sa, CASE "
+        f"  WHEN {_hex_bucket_sql('doc_b')} < 204 THEN 'train' "
+        f"  WHEN {_hex_bucket_sql('doc_b')} < 230 THEN 'val' "
+        "  ELSE 'test' END AS sb FROM pairs) "
+        "SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(avg(jaccard), 6) AS avg_jaccard, max(jaccard) AS max_jaccard "
+        "FROM lab GROUP BY 1, 2"
+    ),
+)
+def neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup companion to split_leakage_report: take the verified banded
+    MinHash pairs (minhash_lsh_neardup — jaccard >= 0.5 after exact
+    verification) and report how they fall across the deterministic
+    train/val/test assignment. Rows with split_a != split_b are eval
+    contamination the exact-span audit can't see (near-dups share most but
+    not all spans); same-split rows are the redundancy dedup would remove
+    anyway. Inherits the full md5-permutation oracle, so the whole
+    composition — sketch, band join, exact verify, split labels — is
+    value-checked end to end.
+
+    Scale: all the mass is in minhash_lsh_neardup (banded, candidate-
+    bounded — see its docstring); this adds two pure projections and a
+    ≤6-row hash aggregate."""
+    pairs = minhash_lsh_neardup(spark, sf_dir)
+    sa = train_split_col("doc_a")
+    sb = train_split_col("doc_b")
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
         )
     )

@@ -254,3 +254,19 @@ def test_split_leakage_consistent_with_span_repeats(spark, sf_dir):
         assert r["n_occurrences"] >= 2 * r["n_groups"]
         assert r["max_span_refs"] >= 2
         assert r["n_groups"] <= repeated
+
+
+def test_neardup_split_leakage_partitions_the_pairs(spark, sf_dir):
+    """The leakage groups must PARTITION the verified near-dup pairs: group
+    sizes sum to the minhash_lsh_neardup pair count, and every group's
+    avg_jaccard respects the 0.5 verification floor."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import neardup_split_leakage
+    from sabd_deduplicator_spark.operators.similarity import minhash_lsh_neardup
+
+    rows = list(neardup_split_leakage(spark, sf_dir).toLocalIterator())
+    assert rows
+    n_pairs = minhash_lsh_neardup(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert 0.5 <= r["avg_jaccard"] <= 1.0
+        assert r["avg_jaccard"] <= r["max_jaccard"] <= 1.0
