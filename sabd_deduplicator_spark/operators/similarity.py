@@ -1377,3 +1377,62 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jac", 6).alias("jaccard"),
         F.round(F.abs(F.col("est") - F.col("jac")), 6).alias("abs_err"),
     )
+
+
+# --- 5. Johnson-Lindenstrauss ±1 projection (deterministic, oracle-checked) --
+
+JL_DIMS = 8
+
+
+def _jl_sign_case(j: int) -> str:
+    """±1 sign for (projection j, coordinate i): +1 iff the first hex digit
+    of md5('j|i') is < '8' — an unbiased coin both engines flip identically
+    (the same md5-as-shared-randomness device as the MinHash permutations
+    and the split buckets)."""
+    return (
+        f"CASE WHEN substring(md5(concat('{j}|', CAST(i AS STRING))), 1, 1) "
+        "< '8' THEN 1.0D ELSE -1.0D END"
+    )
+
+
+@query(
+    "embedding_jl_projection",
+    oracle=(
+        "SELECT vec_id, label, "
+        + ", ".join(
+            "round(list_aggregate(list_transform(range(1, len(embedding) + 1), "
+            "i -> embedding[i]::DOUBLE * (CASE WHEN "
+            f"substr(md5('{j}|' || (i - 1)), 1, 1) < '8' THEN 1.0 ELSE -1.0 "
+            f"END)), 'sum'), 6) AS proj_{j}"
+            for j in range(JL_DIMS)
+        )
+        + " FROM embeddings"
+    ),
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss sketch: project every embedding
+    onto JL_DIMS ±1 hyperplane directions whose signs come from md5, so the
+    projection matrix is implicit, identical on every executor and engine,
+    and never shipped (Achlioptas 2003: ±1 entries satisfy the JL lemma with
+    the same distortion bounds as Gaussians). This is the dim-reduction
+    scale path for the embedding family: at 100 TB, distance computations on
+    the 8-d sketch cost dim/8 of the full-width ones and the sketch rides
+    any ANN path (IVF coarse assignment, dedup prefilter with full-width
+    re-verification — the same candidate-then-verify discipline as
+    minhash_lsh_neardup).
+
+    Per-row narrow transform, zero shuffle, whole-stage codegen: each
+    projection is one zip_with + sequential left-fold aggregate, giving the
+    SAME summation order as DuckDB's list_aggregate — float parity at 6 dp
+    is by construction, not luck."""
+    e = table(spark, sf_dir, "embeddings")
+    projs = [
+        F.expr(
+            "round(aggregate(zip_with(embedding, "
+            "sequence(0, size(embedding) - 1), "
+            f"(x, i) -> cast(x as double) * {_jl_sign_case(j)}), "
+            "0D, (acc, v) -> acc + v), 6)"
+        ).alias(f"proj_{j}")
+        for j in range(JL_DIMS)
+    ]
+    return e.select("vec_id", "label", *projs)

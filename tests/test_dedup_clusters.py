@@ -7,6 +7,8 @@ import random
 
 from pyspark.sql import functions as F
 
+from sabd_deduplicator_spark.catalog import table
+
 from sabd_deduplicator_spark.operators.dedup_clusters import (
     connected_components,
     corpus_canonical_docs,
@@ -79,3 +81,46 @@ def test_canonical_pipeline_invariants(spark, sf_dir):
     assert len({r["component_id"] for r in crows}) == len(crows)
     assert all(r["n_members"] >= 1 for r in crows)
     assert all(r["keep_doc_id"] >= r["component_id"] for r in crows)
+
+
+def test_jl_projection_matches_numpy_reference(spark, sf_dir):
+    """Pin the JL sketch against an independent numpy recomputation of the
+    implicit md5-sign matrix for a handful of vectors — proves the Spark
+    expression computes the projection it claims (the oracle only proves
+    Spark and DuckDB agree with each other)."""
+    import hashlib
+
+    import numpy as np
+
+    from sabd_deduplicator_spark.operators.similarity import (
+        JL_DIMS,
+        embedding_jl_projection,
+    )
+
+    res = {
+        r["vec_id"]: r
+        for r in embedding_jl_projection(spark, sf_dir)
+        .filter(F.col("vec_id") < 5)
+        .toLocalIterator()
+    }
+    src = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .toLocalIterator()
+    }
+    assert set(res) == set(src) and res
+    for vec_id, emb in src.items():
+        for j in range(JL_DIMS):
+            signs = np.array(
+                [
+                    1.0
+                    if hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0] < "8"
+                    else -1.0
+                    for i in range(len(emb))
+                ]
+            )
+            want = 0.0
+            for x, s in zip(emb, signs):  # sequential fold, like the engines
+                want += float(x) * s
+            assert abs(res[vec_id][f"proj_{j}"] - round(want, 6)) < 1e-6
