@@ -1381,7 +1381,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 5. Johnson-Lindenstrauss ±1 projection (deterministic, oracle-checked) --
 
-JL_DIMS = 8
+JL_DIMS = 16
 
 
 def _jl_sign_case(j: int) -> str:
@@ -1395,17 +1395,22 @@ def _jl_sign_case(j: int) -> str:
     )
 
 
+def _jl_proj_sql(j: int) -> str:
+    """DuckDB-side projection j — same sequential left-fold order as the
+    Spark aggregate, so 6-dp parity is structural."""
+    return (
+        "round(list_aggregate(list_transform(range(1, len(embedding) + 1), "
+        "i -> embedding[i]::DOUBLE * (CASE WHEN "
+        f"substr(md5('{j}|' || (i - 1)), 1, 1) < '8' THEN 1.0 ELSE -1.0 "
+        "END)), 'sum'), 6)"
+    )
+
+
 @query(
     "embedding_jl_projection",
     oracle=(
         "SELECT vec_id, label, "
-        + ", ".join(
-            "round(list_aggregate(list_transform(range(1, len(embedding) + 1), "
-            "i -> embedding[i]::DOUBLE * (CASE WHEN "
-            f"substr(md5('{j}|' || (i - 1)), 1, 1) < '8' THEN 1.0 ELSE -1.0 "
-            f"END)), 'sum'), 6) AS proj_{j}"
-            for j in range(JL_DIMS)
-        )
+        + ", ".join(f"{_jl_proj_sql(j)} AS proj_{j}" for j in range(JL_DIMS))
         + " FROM embeddings"
     ),
 )
@@ -1436,3 +1441,96 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(JL_DIMS)
     ]
     return e.select("vec_id", "label", *projs)
+
+
+JL_CANDIDATES = 64
+
+_SK_DOT = " + ".join(f"c.proj_{j} * q.proj_{j}" for j in range(JL_DIMS))
+_SK_NC = "sqrt(" + " + ".join(f"c.proj_{j} * c.proj_{j}" for j in range(JL_DIMS)) + ")"
+_SK_NQ = "sqrt(" + " + ".join(f"q.proj_{j} * q.proj_{j}" for j in range(JL_DIMS)) + ")"
+
+
+@query(
+    "ann_jl_rerank_topk",
+    oracle=(
+        "WITH sk AS (SELECT vec_id, label, "
+        + ", ".join(f"{_jl_proj_sql(j)} AS proj_{j}" for j in range(JL_DIMS))
+        + " FROM embeddings), "
+        "qs AS (SELECT * FROM sk WHERE vec_id = 0), "
+        "sc AS (SELECT c.vec_id, c.label, "
+        f"round(({_SK_DOT}) / (({_SK_NC}) * ({_SK_NQ})), 6) AS scos "
+        "FROM sk c, qs q WHERE c.vec_id <> 0), "
+        "cand AS (SELECT vec_id, label FROM ("
+        "  SELECT vec_id, label, ROW_NUMBER() OVER (ORDER BY scos DESC, vec_id)"
+        f"  AS rn FROM sc) WHERE rn <= {JL_CANDIDATES}), "
+        "qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "ex AS (SELECT e.vec_id, c.label, round("
+        + _cosine_sql("e.embedding", "qv")
+        + ", 6) AS cos FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qe) "
+        "SELECT vec_id, label, cos FROM ("
+        "  SELECT vec_id, label, cos, ROW_NUMBER() OVER ("
+        "    ORDER BY cos DESC, vec_id) AS rn FROM ex) WHERE rn <= 10"
+    ),
+)
+def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 for the query vector via the JL sketch: score ALL
+    corpus vectors on the 8-d md5-sign sketch (embedding_jl_projection),
+    keep the JL_CANDIDATES best sketch-cosines, then re-rank ONLY those
+    candidates by exact full-width cosine. Because the sketch is
+    deterministic in both engines, the ENTIRE approximate pipeline —
+    prefilter, candidate set, re-rank — is value-checked by the oracle,
+    unlike the rows-only LSH/IVF paths whose hash internals are
+    engine-specific. This is the third ANN scale path: full-width work
+    drops from O(n·dim) to O(n·8 + candidates·dim).
+
+    Scale: sketch scoring is a zero-shuffle narrow pass; the top-64 uses
+    the package's k-th-value prefilter (TakeOrderedAndProject k-th value →
+    1-row broadcast → rank only survivors — never a global row_number over
+    the corpus); the re-rank touches 64 rows. Candidate selection orders by
+    (6-dp-rounded scos, vec_id) — a total order both engines share, so the
+    candidate boundary is deterministic."""
+    sk = embedding_jl_projection(spark, sf_dir)
+    qs = sk.filter(F.col("vec_id") == 0).select(
+        *[F.col(f"proj_{j}").alias(f"q_{j}") for j in range(JL_DIMS)]
+    )
+    c = sk.filter(F.col("vec_id") != 0).crossJoin(broadcast(qs))
+    dot = sum(
+        (F.col(f"proj_{j}") * F.col(f"q_{j}") for j in range(JL_DIMS)),
+        F.lit(0.0),
+    )
+    nc = F.sqrt(
+        sum((F.col(f"proj_{j}") * F.col(f"proj_{j}") for j in range(JL_DIMS)), F.lit(0.0))
+    )
+    nq = F.sqrt(
+        sum((F.col(f"q_{j}") * F.col(f"q_{j}") for j in range(JL_DIMS)), F.lit(0.0))
+    )
+    sc = c.select("vec_id", "label", F.round(dot / (nc * nq), 6).alias("scos"))
+    kth = (
+        sc.orderBy(F.desc("scos"), "vec_id")
+        .limit(JL_CANDIDATES)
+        .agg(F.min("scos").alias("kth"))
+    )
+    surv = sc.join(broadcast(kth), sc.scos >= kth.kth)
+    w = Window.orderBy(F.desc("scos"), "vec_id")
+    cand = (
+        surv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= JL_CANDIDATES)
+        .select("vec_id", "label")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    ex = (
+        cand.join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(broadcast(qe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr("embedding", "qv"), 6).alias("cos"),
+        )
+    )
+    w2 = Window.orderBy(F.desc("cos"), "vec_id")
+    return (
+        ex.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "label", "cos")
+    )

@@ -190,3 +190,17 @@ def test_lsh_probe_sweep_monotone_clustered(spark, clustered):
         for r in lsh_top1(e, n_planes, probes=3).collect()
     }
     assert via_sweep == direct
+
+
+def test_jl_rerank_recall_clustered(spark, clustered):
+    """The oracle-checked JL prefilter+rerank path must recover ≥ 0.9 of the
+    exact top-10 when cluster structure exists (the 16-dim sketch preserves
+    the ~0.86-vs-~0 cosine gap easily; on the near-uniform driver corpus the
+    same query measures 0.5-0.6 recall@10 at a 1.3% candidate rate — the
+    honest structureless number, like the LSH/IVF paths)."""
+    from sabd_deduplicator_spark.operators.similarity import ann_jl_rerank_topk
+
+    d, g = clustered
+    got = {r["vec_id"] for r in ann_jl_rerank_topk(spark, d).toLocalIterator()}
+    want = set(np.argsort(-g[0])[:10].tolist())
+    assert len(got & want) / 10 >= 0.9

@@ -39,6 +39,7 @@ SMELLS = (
 # STRING columns (lexicographic result — no numeric isomorphism applies).
 EXPECTED: dict[tuple[str, str], str] = {
     ("ann_ivf_topk", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
+    ("ann_jl_rerank_topk", "BroadcastNestedLoopJoin"): "1-row query-sketch / kth-value / query-vector broadcasts",
     ("ann_recall_vs_exact", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("cross_join_region_status", "BroadcastNestedLoopJoin"): "the query IS a cross join (tiny dims)",
     ("embedding_int8_quantize", "BroadcastNestedLoopJoin"): "1-row global scale broadcast",
