@@ -984,6 +984,11 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ann_ivf_topk @ k=10 for each probes in IVF_PROBE_SWEEP: set overlap
       of the p-probe IVF top-10 with the exact cosine top-10, from ONE
       widest-probe scoring pass filtered by `cell_pos < p`.
+    - ann_jl_rerank_topk @ k=10 (probes = JL_CANDIDATES candidate budget):
+      set overlap of the JL-sketch-prefiltered rerank top-10 with the exact
+      top-10 — the one approximate path that ALSO carries a full value
+      oracle, so its recall row is a quality number on an
+      already-correctness-checked pipeline.
 
     Context for reading the numbers: the driver's synthetic embeddings are
     near-uniform, so recall is structurally low there (IVF@10 probing p/16
@@ -1075,12 +1080,28 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ivf_id").isNotNull(),
         )
 
+    # JL sketch-prefilter path @ k=10 ("probes" reports the candidate
+    # budget): set overlap of the reranked top-10 with the exact top-10.
+    if "jl10" not in memo:
+        memo["jl10"] = (
+            ann_jl_rerank_topk(spark, sf_dir)
+            .select(F.col("vec_id").alias("jl_id"))
+            .localCheckpoint()
+        )
+    jl_stats = _stats(
+        "ann_jl_rerank_topk",
+        10,
+        JL_CANDIDATES,
+        exact10.join(memo["jl10"], F.col("vec_id") == F.col("jl_id"), "left"),
+        F.col("jl_id").isNotNull(),
+    )
+
     out = ivf1_stats
     for p in LSH_PROBE_SWEEP:
         out = out.unionByName(lsh_stats(p))
     for p in IVF_PROBE_SWEEP:
         out = out.unionByName(ivf10_stats(p))
-    return out
+    return out.unionByName(jl_stats)
 
 
 # --- 4. Banded MinHash (md5-permuted; fully oracle-checkable) ---------------

@@ -313,6 +313,10 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert ivf4 >= 0.35, f"IVF recall@10 dropped to {ivf4}"
     sweep = [by_key[("ann_ivf_topk", 10, p)] for p in (1, 2, 4, 8)]
     assert sweep == sorted(sweep), f"probe sweep not monotone: {sweep}"
+    from sabd_deduplicator_spark.operators.similarity import JL_CANDIDATES
+
+    jl = by_key[("ann_jl_rerank_topk", 10, JL_CANDIDATES)]
+    assert jl >= 0.2, f"JL rerank recall@10 dropped to {jl}"
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
