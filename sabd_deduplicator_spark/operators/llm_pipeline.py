@@ -719,9 +719,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     vocab = dt.groupBy("token").agg(F.sum("tf").alias("cf"))
-    total = float(
-        vocab.agg(F.sum("cf").cast("double").alias("total")).first()["total"]
-    )
+    # sum() over an empty vocab is NULL — an empty corpus should yield an
+    # empty report, not a TypeError (same guard discipline as the
+    # streaming attribution join's derived watermark, r4 advice #3).
+    total_row = vocab.agg(F.sum("cf").cast("double").alias("total")).first()
+    total = float(total_row["total"]) if total_row["total"] is not None else 1.0
     scored = dt.join(vocab, "token")
     p = F.col("cf").cast("double") / F.lit(total)
     return (

@@ -270,3 +270,30 @@ def test_neardup_split_leakage_partitions_the_pairs(spark, sf_dir):
     for r in rows:
         assert 0.5 <= r["avg_jaccard"] <= 1.0
         assert r["avg_jaccard"] <= r["max_jaccard"] <= 1.0
+
+
+def test_unigram_logprob_empty_corpus_yields_empty_report(spark, tmp_path):
+    """An empty documents table must produce an empty report (and an empty
+    ppl bucket report), not a NULL-total crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        doc_unigram_logprob,
+        ppl_bucket_stats,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    assert doc_unigram_logprob(spark, str(tmp_path)).count() == 0
+    assert ppl_bucket_stats(spark, str(tmp_path)).count() == 0
