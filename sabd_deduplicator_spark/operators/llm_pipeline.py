@@ -925,3 +925,78 @@ def neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+@query(
+    "source_quality_scorecard",
+    oracle=(
+        "WITH dt AS ("
+        "  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ("
+        "    SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "    FROM documents) GROUP BY doc_id, token), "
+        "vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM dt "
+        "  GROUP BY token), "
+        "tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM vocab), "
+        "ce AS ("
+        "  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, "
+        "  round(sum(tf * -ln(cf / total)) / sum(tf), 6) AS ce, "
+        "  round(sum(CASE WHEN cf = 1 THEN tf ELSE 0 END) "
+        "    / CAST(sum(tf) AS DOUBLE), 6) AS rare_ratio "
+        "  FROM dt JOIN vocab USING (token) CROSS JOIN tot GROUP BY doc_id), "
+        "big AS ("
+        "  SELECT doc_id, 2 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) "
+        "    / any_value(n_tokens) AS dup_bigram_frac FROM ("
+        "    SELECT doc_id, n_tokens, bigram, CAST(count(*) AS BIGINT) AS c "
+        "    FROM ("
+        "      SELECT doc_id, "
+        "      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        f"      unnest({_BIGRAMS_SQL}) AS bigram FROM documents) "
+        "    GROUP BY doc_id, n_tokens, bigram) GROUP BY doc_id) "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(ce.n_tok) AS BIGINT) AS n_tokens, "
+        "CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs, "
+        "round(avg(ce.ce), 6) AS avg_ce, "
+        "round(avg(ce.rare_ratio), 6) AS avg_rare_ratio, "
+        "round(avg(coalesce(big.dup_bigram_frac, 0)), 6) AS avg_dup_bigram "
+        "FROM documents d JOIN ce ON ce.doc_id = d.doc_id "
+        "LEFT JOIN big ON big.doc_id = d.doc_id "
+        "GROUP BY d.source"
+    ),
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scorecard — the report a corpus build reads when
+    deciding mixture weights and which sources to cut: document/token mass,
+    language diversity, mean unigram cross-entropy and hapax ratio
+    (doc_unigram_logprob signals), and mean Gopher repeated-bigram mass,
+    aggregated per `source`. Composes three already-oracle-checked signal
+    pipelines into the per-source roll-up, itself value-checked end to end.
+
+    Scale: the unigram-LM pass is doc_unigram_logprob's shape (its
+    docstring carries the shuffle argument); the bigram pass is
+    gopher_repetition_filters' ONE (doc, bigram) aggregate; the final
+    roll-up joins doc-level rows (corpus-mass-reduced) on doc_id and ends
+    in a hash aggregate of ~n_sources rows. count(DISTINCT lang) rides the
+    same shuffle as a two-level aggregate. Single-token docs have no
+    bigrams — LEFT-joined and coalesced to 0, never dropped."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    ce = doc_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tok", F.col("cross_entropy").alias("ce"), "rare_ratio"
+    )
+    big = gopher_repetition_filters(spark, sf_dir).select(
+        "doc_id", "dup_bigram_frac"
+    )
+    return (
+        d.join(ce, "doc_id")
+        .join(big, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("ce"), 6).alias("avg_ce"),
+            F.round(F.avg("rare_ratio"), 6).alias("avg_rare_ratio"),
+            F.round(
+                F.avg(F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))), 6
+            ).alias("avg_dup_bigram"),
+        )
+    )

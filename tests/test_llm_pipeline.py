@@ -297,3 +297,29 @@ def test_unigram_logprob_empty_corpus_yields_empty_report(spark, tmp_path):
     )
     assert doc_unigram_logprob(spark, str(tmp_path)).count() == 0
     assert ppl_bucket_stats(spark, str(tmp_path)).count() == 0
+
+
+def test_scorecard_masses_reconcile_with_doc_level_signals(spark, sf_dir):
+    """The per-source roll-up must reconcile exactly with the doc-level
+    signals it composes: doc and token masses sum to the corpus totals, and
+    each source's avg_ce stays inside the corpus-wide per-doc CE range."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        doc_unigram_logprob,
+        source_quality_scorecard,
+    )
+
+    rows = list(source_quality_scorecard(spark, sf_dir).toLocalIterator())
+    assert rows
+    ce = doc_unigram_logprob(spark, sf_dir)
+    agg = ce.agg(
+        F.count("*").alias("n"),
+        F.sum("n_tok").alias("mass"),
+        F.min("cross_entropy").alias("lo"),
+        F.max("cross_entropy").alias("hi"),
+    ).first()
+    assert sum(r["n_docs"] for r in rows) == agg["n"]
+    assert sum(r["n_tokens"] for r in rows) == agg["mass"]
+    for r in rows:
+        assert agg["lo"] <= r["avg_ce"] <= agg["hi"]
+        assert 0.0 <= r["avg_rare_ratio"] <= 1.0
+        assert 0.0 <= r["avg_dup_bigram"] <= 1.0
