@@ -69,6 +69,15 @@ HEADLINERS = {
         "on l_orderkey) carrying the same-nation residual; one final "
         "aggregate Exchange."
     ),
+    "ann_jl_rerank_topk": (
+        "JL sketch prefilter + exact rerank. Expect: the sketch scores come "
+        "from a localCheckpoint scan (memoized per corpus — the projection "
+        "pass is not re-derived per consumer); the k-th-value prefilter "
+        "joins a 1-row broadcast; the rerank joins only the candidate rows "
+        "back to the corpus; the flat ±element_at projection sum appears "
+        "in the memo's build, NOT here — no md5 and no higher-order "
+        "function in this plan."
+    ),
     "similarity_topk_cosine": (
         "Global top-k. Expect: the Window's input is a join against the "
         "broadcast k-th-value row (TakeOrderedAndProject feeds it), so the "
