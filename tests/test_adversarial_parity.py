@@ -43,6 +43,9 @@ SUBSET = [
     "media_feature_extract",   # Arrow kernel vs SQL byte stats, float-bit-exact
     "streaming_neardup_dedup", # cross-batch band-bucket state + per-row HOF sketch
     "doc_top_distinctive_terms",  # rank window with full tie-break chain
+    "ppl_bucket_stats",        # per-lang ntile over doubles: ordering-sensitive
+    "split_leakage_report",    # span-hash self-join + cross-split aggregate
+    "ann_jl_rerank_topk",      # sketch kth-value boundary + rerank tie-breaks
 ]
 
 
