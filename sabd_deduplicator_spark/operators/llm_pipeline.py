@@ -1016,3 +1016,71 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_dup_bigram"),
         )
     )
+
+
+@query(
+    "corpus_novelty_curve",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "  FROM documents), "
+        "spans AS (SELECT doc_id, unnest(list_transform("
+        "  range(0, CAST(ceil(len(t) / 8.0) AS BIGINT)), "
+        "  i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS span, "
+        "  unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS span_idx "
+        "  FROM toks), "
+        "ranked AS (SELECT doc_id, row_number() OVER ("
+        "  PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM spans), "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+        "  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel "
+        "  FROM ranked GROUP BY doc_id), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) "
+        "SELECT CAST(least(9, doc_id * 10 // n_docs) AS INT) AS decile, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_spans) AS BIGINT) AS n_spans, "
+        "CAST(sum(n_novel) AS BIGINT) AS n_novel, "
+        "round(CAST(sum(n_novel) AS DOUBLE) / sum(n_spans), 6) AS novelty_rate "
+        "FROM per CROSS JOIN n GROUP BY 1"
+    ),
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation diagnostic: ingest documents in doc_id order and
+    measure, for each ingestion decile, what fraction of its 8-token spans
+    the corpus has never seen before (the reference's first-occurrence rule,
+    lib/deduplicator.ex:84-119, read as a time series). A falling curve
+    tells a corpus build when additional crawl volume stops contributing
+    content — the signal behind 'dedup removes more the longer you crawl'
+    (Lee et al. 2022).
+
+    Deliberately WINDOWLESS on the doc axis at the decile step: the decile
+    is `least(9, doc_id * 10 / n_docs)` — a pure projection off a scalar
+    count (exact tenths for the dense synthetic ids; id-range bins
+    otherwise), where a global ntile would funnel every doc-level row
+    through one sort partition at 100 TB. Span first-occurrence reuses
+    span_survivorship's skew-safe min-of-packed-ordinal aggregate (NOT a
+    row_number window over the span hash — hot boilerplate spans collapse
+    map-side). Three linear shuffles + one ≤10-row aggregate."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    per = span_survivorship(d, with_text=False)
+    n_row = per.agg(F.count("*").alias("n")).first()
+    n_docs = int(n_row["n"]) if n_row and n_row["n"] else 1
+    # long DIV long, not double '/': double division can misround a bucket
+    # boundary once doc_id * 10 exceeds 2^53 — ids at 100 TB scale do.
+    decile = F.least(
+        F.lit(9), F.expr(f"doc_id * 10L div {n_docs}L")
+    ).cast("int")
+    return (
+        per.select(
+            decile.alias("decile"),
+            "n_spans",
+            F.col("n_kept").alias("n_novel"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_novel").alias("n_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_spans"), 6
+            ).alias("novelty_rate"),
+        )
+    )

@@ -323,3 +323,31 @@ def test_scorecard_masses_reconcile_with_doc_level_signals(spark, sf_dir):
         assert agg["lo"] <= r["avg_ce"] <= agg["hi"]
         assert 0.0 <= r["avg_rare_ratio"] <= 1.0
         assert 0.0 <= r["avg_dup_bigram"] <= 1.0
+
+
+def test_novelty_curve_reconciles_with_span_dedup(spark, sf_dir):
+    """The curve must partition the corpus exactly: decile doc/span/novel
+    masses sum to span_dedup_corpus's totals and every novelty_rate is in
+    (0, 1]. (No monotonicity claim: with ~50 docs per decile the
+    first-occurrence bias toward early docs is well inside sampling noise
+    on this corpus — that's a data property, not an operator invariant.)"""
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        corpus_novelty_curve,
+        span_dedup_corpus,
+    )
+
+    rows = sorted(
+        (r.asDict() for r in corpus_novelty_curve(spark, sf_dir).toLocalIterator()),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    tot = span_dedup_corpus(spark, sf_dir).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_kept").alias("novel"),
+    ).first()
+    assert sum(r["n_docs"] for r in rows) == tot["docs"]
+    assert sum(r["n_spans"] for r in rows) == tot["spans"]
+    assert sum(r["n_novel"] for r in rows) == tot["novel"]
+    for r in rows:
+        assert 0.0 < r["novelty_rate"] <= 1.0
