@@ -1084,3 +1084,90 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+@query(
+    "source_span_overlap",
+    oracle=(
+        "WITH toks AS (SELECT source, string_split(text, ' ') AS t, "
+        "  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nsp "
+        "  FROM documents), "
+        "spans AS (SELECT source, unnest(list_transform(range(0, nsp), "
+        "  i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS span "
+        "  FROM toks), "
+        "ss AS (SELECT DISTINCT source, md5(span) AS h FROM spans), "
+        "tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss "
+        "  GROUP BY source), "
+        "shared AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "  CAST(count(*) AS BIGINT) AS shared_spans "
+        "  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source "
+        "  GROUP BY 1, 2) "
+        "SELECT source_a, source_b, shared_spans, "
+        "ta.n AS spans_a, tb.n AS spans_b, "
+        "round(CAST(shared_spans AS DOUBLE) / (ta.n + tb.n - shared_spans), 6) "
+        "AS jaccard "
+        "FROM shared "
+        "JOIN tot ta ON ta.source = shared.source_a "
+        "JOIN tot tb ON tb.source = shared.source_b"
+    ),
+)
+def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how many
+    distinct 8-token spans (the reference's chunk unit, lib/deduplicator.ex:
+    84-119, read cross-source) they share, plus the span-set Jaccard. This
+    is the 'is crawl A re-collecting crawl B' diagnostic a corpus build runs
+    before deciding which source to dedup AGAINST which — the pairwise
+    companion to corpus_novelty_curve's time axis.
+
+    Scale shape: the pair explosion happens at the (source, span-hash)
+    DISTINCT level, not the occurrence level — one hash aggregate collapses
+    every repeat of a hot boilerplate span per source BEFORE the self-join,
+    so a span's join fanout is bounded by n_sources², never by its corpus
+    frequency. The self-join is a pure equi-join on the span hash (the `<`
+    pair ordering is a post-join filter on an already-bounded match set),
+    and the per-source totals (n_sources rows) broadcast onto the pair
+    rows. Zero-overlap pairs are absent rather than zero-filled in BOTH
+    engines — the dense matrix would be n_sources² rows of mostly zeros at
+    corpus scale."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    ss = (
+        d.select("source", F.explode(spans).alias("span"))
+        .select("source", F.md5("span").alias("h"))
+        .distinct()
+    )
+    tot = ss.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_spans"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("spans_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("spans_b"))
+    return (
+        shared.join(broadcast(ta), "source_a")
+        .join(broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_spans",
+            "spans_a",
+            "spans_b",
+            F.round(
+                F.col("shared_spans").cast("double")
+                / (F.col("spans_a") + F.col("spans_b") - F.col("shared_spans")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

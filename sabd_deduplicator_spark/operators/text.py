@@ -542,3 +542,86 @@ def doc_top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= DISTINCTIVE_TOP_K)
         .select("doc_id", "term", "tf", "df", "rnk")
     )
+
+
+COVERAGE_KS = (1, 4, 16, 64)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "  FROM documents), "
+        "counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok "
+        "  GROUP BY token), "
+        "ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn "
+        "  FROM counts), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts) "
+        "SELECT CAST(v.k AS INT) AS k, "
+        "CAST(sum(CASE WHEN rn <= v.k THEN n ELSE 0 END) AS BIGINT) "
+        "  AS covered_tokens, "
+        "CAST(max(total) AS BIGINT) AS total_tokens, "
+        "round(CAST(sum(CASE WHEN rn <= v.k THEN n ELSE 0 END) AS DOUBLE) "
+        "  / max(total), 6) AS coverage "
+        "FROM ranked CROSS JOIN tot "
+        "CROSS JOIN (VALUES (1), (4), (16), (64)) AS v(k) "
+        "GROUP BY v.k"
+    ),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each k in COVERAGE_KS, the fraction of
+    total corpus token mass covered by the k most frequent token types —
+    the tokenizer-vocab-size calibration a corpus build runs before
+    committing to a BPE budget (a 64-type head covering 99% of mass and a
+    64-type head covering 40% want very different vocabularies).
+
+    Scale shape: same k-th-value prefilter as top_tokens_corpus — one hash
+    aggregate over token types, a distributed TakeOrderedAndProject for the
+    k_max-th count, and a rank window that only ever sees the ~k_max
+    survivors (never a single-partition sort over the full vocabulary).
+    The curve itself is ONE conditional aggregate over those survivors
+    unpivoted via stack() — not one scan per k. Total mass comes from a
+    linear scan of documents (no explode), a driver scalar like
+    corpus_novelty_curve's n_docs."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    t_row = d.agg(F.sum(F.size("tokens")).alias("t")).first()
+    total = int(t_row["t"]) if t_row and t_row["t"] else 0
+    if total == 0:
+        return spark.createDataFrame(
+            [], "k int, covered_tokens long, total_tokens long, coverage double"
+        )
+    k_max = max(COVERAGE_KS)
+    counts = (
+        d.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    kth = (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(k_max)
+        .agg(F.min("n").alias("kth"))
+    )
+    survivors = counts.join(F.broadcast(kth), counts["n"] >= kth["kth"]).select(
+        "token", "n"
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = survivors.withColumn("rn", F.row_number().over(w))
+    one = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rn") <= k, F.col("n")).otherwise(F.lit(0))).alias(
+                f"c_{k}"
+            )
+            for k in COVERAGE_KS
+        ]
+    )
+    stack = "stack({}, {}) AS (k, covered_tokens)".format(
+        len(COVERAGE_KS), ", ".join(f"{k}, c_{k}" for k in COVERAGE_KS)
+    )
+    return one.select(F.expr(stack)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        F.lit(total).cast("long").alias("total_tokens"),
+        F.round(F.col("covered_tokens").cast("double") / F.lit(total), 6).alias(
+            "coverage"
+        ),
+    )

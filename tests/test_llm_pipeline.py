@@ -351,3 +351,70 @@ def test_novelty_curve_reconciles_with_span_dedup(spark, sf_dir):
     assert sum(r["n_novel"] for r in rows) == tot["novel"]
     for r in rows:
         assert 0.0 < r["novelty_rate"] <= 1.0
+
+
+def test_source_overlap_reconciles_with_per_source_span_sets(spark, sf_dir):
+    """Every pair row must be internally consistent (shared <= min side,
+    jaccard re-derivable from the three counts, a < b ordering) and the
+    per-source totals must equal an independently computed distinct-span
+    count for that source."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        source_span_overlap,
+        span_survivorship,
+    )
+    from sabd_deduplicator_spark.operators.text import with_tokens
+    from sabd_deduplicator_spark.catalog import table
+
+    rows = [r.asDict() for r in source_span_overlap(spark, sf_dir).toLocalIterator()]
+    assert rows
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    spans = F.expr(
+        "transform(sequence(0, CAST(ceil(size(tokens) / 8.0) AS INT) - 1), "
+        "i -> array_join(slice(tokens, i * 8 + 1, 8), ' '))"
+    )
+    expected = {
+        r["source"]: r["n"]
+        for r in d.select("source", F.explode(spans).alias("span"))
+        .select("source", F.md5("span").alias("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .toLocalIterator()
+    }
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["shared_spans"] <= min(r["spans_a"], r["spans_b"])
+        assert r["spans_a"] == expected[r["source_a"]]
+        assert r["spans_b"] == expected[r["source_b"]]
+        denom = r["spans_a"] + r["spans_b"] - r["shared_spans"]
+        assert abs(r["jaccard"] - round(r["shared_spans"] / denom, 6)) < 1e-12
+
+
+def test_vocab_coverage_monotone_and_reconciles(spark, sf_dir):
+    """Coverage must be monotone non-decreasing in k, covered mass must
+    never exceed the total, the total must equal the corpus token count,
+    and with k_max above this corpus's 31-type vocabulary the last point
+    must cover everything."""
+    from sabd_deduplicator_spark.operators.text import (
+        COVERAGE_KS,
+        vocab_coverage_curve,
+        with_tokens,
+    )
+    from sabd_deduplicator_spark.catalog import table
+
+    rows = sorted(
+        (r.asDict() for r in vocab_coverage_curve(spark, sf_dir).toLocalIterator()),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == sorted(COVERAGE_KS)
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    total = d.agg(F.sum(F.size("tokens"))).first()[0]
+    n_types = d.select(F.explode("tokens")).distinct().count()
+    covered = [r["covered_tokens"] for r in rows]
+    assert covered == sorted(covered)
+    for r in rows:
+        assert r["total_tokens"] == total
+        assert 0 < r["covered_tokens"] <= total
+        assert abs(r["coverage"] - round(r["covered_tokens"] / total, 6)) < 1e-12
+    if max(COVERAGE_KS) >= n_types:
+        assert rows[-1]["covered_tokens"] == total

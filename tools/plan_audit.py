@@ -53,6 +53,7 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("similarity_topk_cosine", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter (per stage)",
     ("top_tokens_corpus", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("topk_customers_by_spend", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
+    ("vocab_coverage_curve", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("cube_events", "Expand"): "CUBE is the Expand operator",
     ("rollup_orders", "Expand"): "ROLLUP is the Expand operator",
     ("grouping_sets_lineitem", "Expand"): "GROUPING SETS is the Expand operator",
