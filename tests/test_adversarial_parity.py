@@ -46,6 +46,7 @@ SUBSET = [
     "ppl_bucket_stats",        # per-lang ntile over doubles: ordering-sensitive
     "split_leakage_report",    # span-hash self-join + cross-split aggregate
     "ann_jl_rerank_topk",      # sketch kth-value boundary + rerank tie-breaks
+    "corpus_novelty_curve",    # min-packed first-occurrence + scalar-count deciles
     "source_span_overlap",     # distinct-level span-hash self-join pair matrix
     "vocab_coverage_curve",    # global rank + kth-value boundary over the vocab
 ]
