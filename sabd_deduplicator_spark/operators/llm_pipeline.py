@@ -1061,8 +1061,11 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side). Three linear shuffles + one ≤10-row aggregate."""
     d = with_tokens(table(spark, sf_dir, "documents"))
     per = span_survivorship(d, with_text=False)
-    n_row = per.agg(F.count("*").alias("n")).first()
-    n_docs = int(n_row["n"]) if n_row and n_row["n"] else 1
+    # scalar doc count from the BASE table (parquet row-group metadata —
+    # near-free), not from `per`: counting `per` would execute the whole
+    # span-survivorship pipeline a second time for one number, and the two
+    # counts are identical (span_survivorship emits one row per document).
+    n_docs = table(spark, sf_dir, "documents").count() or 1
     # long DIV long, not double '/': double division can misround a bucket
     # boundary once doc_id * 10 exceeds 2^53 — ids at 100 TB scale do.
     decile = F.least(
