@@ -127,6 +127,14 @@ HEADLINERS = {
         "(band, x, y), and the exact-Jaccard verify joins touching only "
         "candidate rows; no Python anywhere."
     ),
+    "source_span_overlap": (
+        "Cross-source duplication matrix. Expect: the span explode feeds a "
+        "distinct-level HashAggregate on (source, span-hash) BEFORE the "
+        "self-join, so the pair join is an equi-join on the hash whose "
+        "fanout is bounded by n_sources² per span (never corpus "
+        "frequency); the per-source totals join as BroadcastHashJoins; no "
+        "nested-loop join anywhere."
+    ),
     "media_image_dims": (
         "Multimodal dims extraction. Expect: one narrow Project building "
         "the PNG/JPEG container bytes (concat of literals + unhex/lpad/hex "
