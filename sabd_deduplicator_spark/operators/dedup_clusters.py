@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from sabd_deduplicator_spark import registry
 from sabd_deduplicator_spark.catalog import table
-from sabd_deduplicator_spark.operators.similarity import ngram_jaccard_pairs
+from sabd_deduplicator_spark.operators.similarity import (
+    minhash_lsh_neardup,
+    ngram_jaccard_pairs,
+)
+from sabd_deduplicator_spark.operators.text import simhash_neardup_pairs
 from sabd_deduplicator_spark.registry import query
 
 QUALITY_MIN_CHARS = 100  # canonical-corpus quality floor (documents.n_chars)
@@ -381,4 +385,112 @@ def ri_audit_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "c_custkey", "order_without_customer"))
         .unionByName(orphan_count(c, n, "c_nationkey", "n_nationkey",
                                   "customer_without_nation"))
+    )
+
+
+def _pairs_cte(name: str) -> str:
+    """Wrap a registered pair-query's oracle as a (doc_a, doc_b) subquery —
+    DuckDB accepts a WITH inside a parenthesized derived table, so each
+    method's full oracle composes without CTE-name collisions."""
+    return f"(SELECT doc_a, doc_b FROM ({registry.ORACLES[name]}))"
+
+
+_METHOD_GRID = [("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")]
+
+
+@query(
+    "neardup_method_agreement",
+    oracle=(
+        f"WITH mp AS {_pairs_cte('minhash_lsh_neardup')}, "
+        f"gp AS {_pairs_cte('ngram_jaccard_pairs')}, "
+        f"sp AS {_pairs_cte('simhash_neardup_pairs')}, "
+        "allp AS (SELECT 'minhash' AS method, doc_a, doc_b FROM mp "
+        "  UNION ALL SELECT 'ngram', doc_a, doc_b FROM gp "
+        "  UNION ALL SELECT 'simhash', doc_a, doc_b FROM sp), "
+        "tot AS (SELECT method, CAST(count(*) AS BIGINT) AS n FROM allp "
+        "  GROUP BY method), "
+        "inter AS (SELECT a.method AS method_a, b.method AS method_b, "
+        "  CAST(count(*) AS BIGINT) AS shared "
+        "  FROM allp a JOIN allp b ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b "
+        "    AND a.method < b.method GROUP BY 1, 2), "
+        "grid AS (SELECT * FROM (VALUES ('minhash', 'ngram'), "
+        "  ('minhash', 'simhash'), ('ngram', 'simhash')) "
+        "  AS v(method_a, method_b)) "
+        "SELECT g.method_a, g.method_b, "
+        "coalesce(i.shared, 0) AS shared_pairs, "
+        "ta.n AS pairs_a, tb.n AS pairs_b, "
+        "round(CAST(coalesce(i.shared, 0) AS DOUBLE) "
+        "  / (ta.n + tb.n - coalesce(i.shared, 0)), 6) AS pair_jaccard "
+        "FROM grid g "
+        "JOIN tot ta ON ta.method = g.method_a "
+        "JOIN tot tb ON tb.method = g.method_b "
+        "LEFT JOIN inter i ON i.method_a = g.method_a "
+        "  AND i.method_b = g.method_b"
+    ),
+)
+def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement matrix over the three text near-dup methods
+    (banded MinHash, SimHash hamming<=3, exact n-gram Jaccard>=0.5): for each
+    method pair, how many (doc_a, doc_b) duplicate pairs both report, each
+    method's total, and the pair-set Jaccard. This is the report a corpus
+    build reads to pick its dedup strategy — high agreement says the cheap
+    sketch can replace the exact join; the disagreement counts bound what
+    each method would miss.
+
+    Scale shape: each method's pair list comes from the per-corpus pair
+    memo (the materialized edge-list table a production pipeline keeps per
+    snapshot — derivation cost is the cold first call, PERF.md), and the
+    agreement itself is one equi-join on the (doc_a, doc_b) pair key whose
+    per-key fanout is bounded by the number of METHODS (3), plus two
+    broadcast joins of the ≤3-row totals. Methods with zero pairs drop out
+    of the grid in BOTH engines (inner join on totals). The composed oracle
+    re-runs all three method oracles as sub-selects, so the whole report —
+    inputs included — stays value-checked."""
+    methods = [
+        ("minhash", "minhash_pairs", minhash_lsh_neardup),
+        ("ngram", "jaccard", ngram_jaccard_pairs),
+        ("simhash", "simhash_pairs", simhash_neardup_pairs),
+    ]
+    tagged = None
+    for label, kind, fn in methods:
+        p = _memo_pairs(
+            spark, kind, sf_dir,
+            lambda fn=fn: fn(spark, sf_dir).select("doc_a", "doc_b"),
+        ).select(F.lit(label).alias("method"), "doc_a", "doc_b")
+        tagged = p if tagged is None else tagged.unionByName(p)
+    tot = tagged.groupBy("method").agg(F.count("*").alias("n"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.doc_a") == F.col("b.doc_a"))
+            & (F.col("a.doc_b") == F.col("b.doc_b"))
+            & (F.col("a.method") < F.col("b.method")),
+        )
+        .groupBy(
+            F.col("a.method").alias("method_a"),
+            F.col("b.method").alias("method_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    grid = spark.createDataFrame(_METHOD_GRID, "method_a string, method_b string")
+    ta = tot.select(F.col("method").alias("method_a"), F.col("n").alias("pairs_a"))
+    tb = tot.select(F.col("method").alias("method_b"), F.col("n").alias("pairs_b"))
+    shared = F.coalesce(F.col("shared"), F.lit(0)).cast("long")
+    return (
+        grid.join(F.broadcast(ta), "method_a")
+        .join(F.broadcast(tb), "method_b")
+        .join(F.broadcast(inter), ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            shared.alias("shared_pairs"),
+            "pairs_a",
+            "pairs_b",
+            F.round(
+                shared.cast("double")
+                / (F.col("pairs_a") + F.col("pairs_b") - shared),
+                6,
+            ).alias("pair_jaccard"),
+        )
     )

@@ -49,6 +49,7 @@ SUBSET = [
     "corpus_novelty_curve",    # min-packed first-occurrence + scalar-count deciles
     "source_span_overlap",     # distinct-level span-hash self-join pair matrix
     "vocab_coverage_curve",    # global rank + kth-value boundary over the vocab
+    "neardup_method_agreement",  # composes all three near-dup pair pipelines
 ]
 
 

@@ -124,3 +124,43 @@ def test_jl_projection_matches_numpy_reference(spark, sf_dir):
             for x, s in zip(emb, signs):  # sequential fold, like the engines
                 want += float(x) * s
             assert abs(res[vec_id][f"proj_{j}"] - round(want, 6)) < 1e-6
+
+
+def test_method_agreement_reconciles_with_method_pair_lists(spark, sf_dir):
+    """The matrix must cover the three method pairs in order, each row's
+    totals must equal the method queries' own pair counts, shared can never
+    exceed either side, and the pair-set Jaccard must re-derive from the
+    three counts."""
+    from sabd_deduplicator_spark.operators.dedup_clusters import (
+        neardup_method_agreement,
+    )
+    from sabd_deduplicator_spark.operators.similarity import (
+        minhash_lsh_neardup,
+        ngram_jaccard_pairs,
+    )
+    from sabd_deduplicator_spark.operators.text import simhash_neardup_pairs
+
+    rows = sorted(
+        (r.asDict() for r in neardup_method_agreement(spark, sf_dir).toLocalIterator()),
+        key=lambda r: (r["method_a"], r["method_b"]),
+    )
+    assert [(r["method_a"], r["method_b"]) for r in rows] == [
+        ("minhash", "ngram"),
+        ("minhash", "simhash"),
+        ("ngram", "simhash"),
+    ]
+    counts = {
+        "minhash": minhash_lsh_neardup(spark, sf_dir).count(),
+        "ngram": ngram_jaccard_pairs(spark, sf_dir).count(),
+        "simhash": simhash_neardup_pairs(spark, sf_dir).count(),
+    }
+    for r in rows:
+        assert r["pairs_a"] == counts[r["method_a"]]
+        assert r["pairs_b"] == counts[r["method_b"]]
+        assert 0 <= r["shared_pairs"] <= min(r["pairs_a"], r["pairs_b"])
+        denom = r["pairs_a"] + r["pairs_b"] - r["shared_pairs"]
+        assert abs(r["pair_jaccard"] - round(r["shared_pairs"] / denom, 6)) < 1e-12
+    # the two exact-verify >= 0.5 methods must agree on something: the
+    # planted clones are near-identical, so both report them
+    mh_ng = rows[0]
+    assert mh_ng["shared_pairs"] > 0
