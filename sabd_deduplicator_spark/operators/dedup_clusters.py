@@ -36,10 +36,22 @@ from pyspark.sql import functions as F
 from sabd_deduplicator_spark import registry
 from sabd_deduplicator_spark.catalog import table
 from sabd_deduplicator_spark.operators.similarity import (
+    DF_CAP,
+    _MINHASH_BANDS_SQL,
+    _MINHASH_SIG_SQL,
+    _SHINGLES_SQL,
+    doc_shingles,
+    minhash_bands,
     minhash_lsh_neardup,
     ngram_jaccard_pairs,
 )
-from sabd_deduplicator_spark.operators.text import simhash_neardup_pairs
+from sabd_deduplicator_spark.operators.text import (
+    SIMHASH_BANDS,
+    SIMHASH_SQL,
+    simhash_bands,
+    simhash_neardup_pairs,
+    text_simhash32,
+)
 from sabd_deduplicator_spark.registry import query
 
 QUALITY_MIN_CHARS = 100  # canonical-corpus quality floor (documents.n_chars)
@@ -493,4 +505,131 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pair_jaccard"),
         )
+    )
+
+
+def _bucket_stats_sql(sizes_cte: str, label: str) -> str:
+    """Census over a (bucket, n) size relation: colliding buckets, the
+    hottest bucket, and the candidate pairs the bucket join generates
+    (sum n·(n−1)/2 — a pair colliding in two buckets counts twice, because
+    the join pays it twice)."""
+    return (
+        f"SELECT '{label}' AS method, CAST(count(*) AS BIGINT) AS n_buckets, "
+        "CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket, "
+        "CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS gen_pairs "
+        f"FROM {sizes_cte}"
+    )
+
+
+@query(
+    "neardup_candidate_cost",
+    oracle=(
+        f"WITH sh AS ({_SHINGLES_SQL}), "
+        f"sig AS ({_MINHASH_SIG_SQL}), "
+        f"mb AS ({_MINHASH_BANDS_SQL}), "
+        "msz AS (SELECT band, x, y, count(*) AS n FROM mb "
+        "  GROUP BY 1, 2, 3 HAVING count(*) >= 2), "
+        f"sim AS ({SIMHASH_SQL}), "
+        "sb AS (SELECT doc_id, band, (simhash >> (8 * band)) & 255 AS byte "
+        f"  FROM sim, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band)), "
+        "ssz AS (SELECT band, byte, count(*) AS n FROM sb "
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "gsz AS (SELECT sh, count(*) AS n FROM sh GROUP BY sh "
+        f"  HAVING count(*) BETWEEN 2 AND {DF_CAP}), "
+        "stats AS ("
+        + _bucket_stats_sql("msz", "minhash")
+        + " UNION ALL "
+        + _bucket_stats_sql("gsz", "ngram")
+        + " UNION ALL "
+        + _bucket_stats_sql("ssz", "simhash")
+        + "), "
+        "dups AS ("
+        "  SELECT 'minhash' AS method, CAST((SELECT count(*) FROM "
+        f"    ({registry.ORACLES['minhash_lsh_neardup']})) AS BIGINT) AS dup_pairs "
+        "  UNION ALL SELECT 'ngram', CAST((SELECT count(*) FROM "
+        f"    ({registry.ORACLES['ngram_jaccard_pairs']})) AS BIGINT) "
+        "  UNION ALL SELECT 'simhash', CAST((SELECT count(*) FROM "
+        f"    ({registry.ORACLES['simhash_neardup_pairs']})) AS BIGINT)) "
+        "SELECT s.method AS method, n_buckets, max_bucket, gen_pairs, "
+        "dup_pairs, "
+        "CASE WHEN dup_pairs > 0 THEN "
+        "  round(CAST(gen_pairs AS DOUBLE) / dup_pairs, 6) END AS cost_per_dup "
+        "FROM stats s JOIN dups d ON d.method = s.method"
+    ),
+)
+def neardup_candidate_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST side of choosing a dedup strategy (companion to
+    neardup_method_agreement's quality side): for each text near-dup method,
+    a census of its blocking structure — colliding buckets, hottest bucket,
+    candidate pairs the bucket join generates (sum n·(n−1)/2, the exact
+    join work), verified duplicate pairs, and candidates-per-duplicate.
+    At 100 TB this report is how you predict a method's shuffle bill before
+    running it, and the max_bucket column is the skew early-warning (one
+    boilerplate-hot bucket dominating the join).
+
+    Scale shape: three bucket-size aggregates (hash aggregates with
+    map-side combine — a hot bucket arrives at the reducer as one partial
+    per input partition), three 1-row stat aggregates, and three 1-row
+    counts over the MEMOIZED verified-pair lists (shared with
+    neardup_method_agreement — no pair pipeline re-runs). No joins except
+    the final 3-row broadcast. The oracle re-derives every census from the
+    method oracles' own CTE fragments, so the report stays value-checked
+    against the same bucket definitions the detectors use."""
+    mh_sizes = (
+        minhash_bands(doc_shingles(spark, sf_dir))
+        .groupBy("band", "x", "y")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    sh_sizes = (
+        simhash_bands(text_simhash32(spark, sf_dir))
+        .groupBy("band", "byte")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    ng_sizes = (
+        doc_shingles(spark, sf_dir)
+        .groupBy("sh")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= DF_CAP))
+    )
+
+    def stats(sizes: DataFrame, label: str) -> DataFrame:
+        return sizes.agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_bucket"),
+            F.coalesce(F.sum(F.expr("n * (n - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("gen_pairs"),
+        ).select(F.lit(label).alias("method"), "n_buckets", "max_bucket", "gen_pairs")
+
+    def dup_count(label: str, kind: str, fn) -> DataFrame:
+        pairs = _memo_pairs(
+            spark, kind, sf_dir,
+            lambda: fn(spark, sf_dir).select("doc_a", "doc_b"),
+        )
+        return pairs.agg(F.count("*").cast("long").alias("dup_pairs")).select(
+            F.lit(label).alias("method"), "dup_pairs"
+        )
+
+    all_stats = (
+        stats(mh_sizes, "minhash")
+        .unionByName(stats(ng_sizes, "ngram"))
+        .unionByName(stats(sh_sizes, "simhash"))
+    )
+    dups = (
+        dup_count("minhash", "minhash_pairs", minhash_lsh_neardup)
+        .unionByName(dup_count("ngram", "jaccard", ngram_jaccard_pairs))
+        .unionByName(dup_count("simhash", "simhash_pairs", simhash_neardup_pairs))
+    )
+    return all_stats.join(F.broadcast(dups), "method").select(
+        "method",
+        "n_buckets",
+        "max_bucket",
+        "gen_pairs",
+        "dup_pairs",
+        F.when(
+            F.col("dup_pairs") > 0,
+            F.round(F.col("gen_pairs").cast("double") / F.col("dup_pairs"), 6),
+        ).alias("cost_per_dup"),
     )

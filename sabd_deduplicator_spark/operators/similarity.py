@@ -1127,13 +1127,19 @@ def _minhash_slice_sql(k: int) -> str:
     return f"substring(md5('{k // 4}|' || sh), {1 + 8 * (k % 4)}, 8)"
 
 
-_MINHASH_ORACLE = (
-    "WITH sh AS (" + _SHINGLES_SQL + "), "
-    "sig AS (SELECT doc_id, "
+# the sig CTE body, exported so composed oracles (neardup_candidate_cost)
+# rebuild the identical bucket relation
+_MINHASH_SIG_SQL = (
+    "SELECT doc_id, "
     + ", ".join(
         f"min({_minhash_slice_sql(k)}) AS h{k}" for k in range(MINHASH_PERMS)
     )
-    + " FROM sh GROUP BY doc_id), "
+    + " FROM sh GROUP BY doc_id"
+)
+
+_MINHASH_ORACLE = (
+    "WITH sh AS (" + _SHINGLES_SQL + "), "
+    "sig AS (" + _MINHASH_SIG_SQL + "), "
     "bands AS (" + _MINHASH_BANDS_SQL + "), "
     "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
     "  FROM bands l JOIN bands r ON l.band = r.band AND l.x = r.x "

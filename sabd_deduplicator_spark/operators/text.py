@@ -362,6 +362,28 @@ def _simhash_doc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BANDS = 4  # 4 × 8-bit bands: hamming ≤ 3 ⟹ ≥1 band identical
 
 
+def simhash_bands(sim: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, byte) Manku pigeonhole bucket keys from a
+    (doc_id, simhash) fingerprint relation — shared by the band join in
+    simhash_neardup_pairs and the bucket census in
+    dedup_clusters.neardup_candidate_cost."""
+    return sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("byte"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+
+
 @query(
     "simhash_neardup_pairs",
     oracle=(
@@ -386,21 +408,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contrast decode's literal/pointer FILTER branches, which cannot
     # exchange-reuse and do warrant the checkpoint in roundtrip_recovery*).
     sim = text_simhash32(spark, sf_dir)
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("byte"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.byte")
+    bands = simhash_bands(sim)
     l = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "byte"
     )

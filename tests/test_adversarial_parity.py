@@ -50,6 +50,7 @@ SUBSET = [
     "source_span_overlap",     # distinct-level span-hash self-join pair matrix
     "vocab_coverage_curve",    # global rank + kth-value boundary over the vocab
     "neardup_method_agreement",  # composes all three near-dup pair pipelines
+    "neardup_candidate_cost",  # bucket censuses over all three band structures
 ]
 
 

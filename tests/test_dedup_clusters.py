@@ -164,3 +164,41 @@ def test_method_agreement_reconciles_with_method_pair_lists(spark, sf_dir):
     # planted clones are near-identical, so both report them
     mh_ng = rows[0]
     assert mh_ng["shared_pairs"] > 0
+
+
+def test_candidate_cost_reconciles_with_method_outputs(spark, sf_dir):
+    """Census sanity: three method rows; dup_pairs equals each method's own
+    output count; gen_pairs is an upper bound on DISTINCT candidate pairs
+    and therefore on verified pairs; max_bucket and bucket counts are
+    internally consistent with gen_pairs."""
+    from sabd_deduplicator_spark.operators.dedup_clusters import (
+        neardup_candidate_cost,
+    )
+    from sabd_deduplicator_spark.operators.similarity import (
+        minhash_lsh_neardup,
+        ngram_jaccard_pairs,
+    )
+    from sabd_deduplicator_spark.operators.text import simhash_neardup_pairs
+
+    rows = {
+        r["method"]: r.asDict()
+        for r in neardup_candidate_cost(spark, sf_dir).toLocalIterator()
+    }
+    assert set(rows) == {"minhash", "ngram", "simhash"}
+    counts = {
+        "minhash": minhash_lsh_neardup(spark, sf_dir).count(),
+        "ngram": ngram_jaccard_pairs(spark, sf_dir).count(),
+        "simhash": simhash_neardup_pairs(spark, sf_dir).count(),
+    }
+    for m, r in rows.items():
+        assert r["dup_pairs"] == counts[m]
+        assert r["gen_pairs"] >= r["dup_pairs"]
+        assert r["n_buckets"] >= 1
+        assert r["max_bucket"] >= 2
+        # one bucket of size max_bucket alone generates C(max, 2) pairs
+        mx = r["max_bucket"]
+        assert r["gen_pairs"] >= mx * (mx - 1) // 2
+        if r["dup_pairs"] > 0:
+            assert abs(
+                r["cost_per_dup"] - round(r["gen_pairs"] / r["dup_pairs"], 6)
+            ) < 1e-12
