@@ -856,6 +856,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURED per probe count in ann_recall_vs_exact and floored on the
     clustered fixture (tests/test_ann_clustered.py)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e.isEmpty():  # no corpus → no quantizer to train; keep the schema
+        return spark.createDataFrame([], "vec_id bigint, cell int, cos double")
     return ivf_topk(spark, e, probes=IVF_PROBES, k=10, memo_key=sf_dir)
 
 
@@ -998,6 +1000,12 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-cluster fixture."""
     eps = 1e-9
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e.isEmpty():  # no corpus → nothing to grade; keep the schema
+        return spark.createDataFrame(
+            [],
+            "method string, k int, probes int, n_queries bigint, "
+            "n_hits bigint, recall double",
+        )
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _RECALL_MEMO:
         _RECALL_MEMO[memo_key] = {
@@ -1552,6 +1560,11 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full projection pass (measured 3.1 s vs 1.0 s at sf0.1). Memoized
     # per (app, sf_dir) like the recall-report inputs — cold cost stays
     # visible in committed bench runs lists.
+    if _jl_corpus_dim(spark, sf_dir) == 0:
+        # empty corpus: every projection is the literal 0.0, and Catalyst
+        # constant-folds the 0/0 sketch cosine at PLAN time (ANSI
+        # DIVIDE_BY_ZERO before a single row flows) — return empty early
+        return spark.createDataFrame([], "vec_id bigint, label int, cos double")
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _JL_SCORE_MEMO:
         sk = embedding_jl_projection(spark, sf_dir)

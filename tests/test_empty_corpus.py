@@ -1,0 +1,88 @@
+"""Degenerate-input robustness: every registered query must PLAN and RUN
+against a corpus whose tables all have zero rows (same schemas), returning
+an empty (or guard-defined) result instead of crashing.
+
+This is the empty-table twin of the adversarial-config parity gate: the
+failures it catches are real (the r4 ADVICE streaming-watermark TypeError
+was exactly this class, and the sweep that produced this test found three
+ANN paths crashing — a numpy AxisError in quantizer training, a numpy
+stack of an empty sample, and a Catalyst CONSTANT-FOLDED 0/0 in the JL
+sketch cosine that threw at plan time before a single row flowed).
+
+Default run sweeps a representative subset (the three past crashers +
+one query per family); SPARK_GRAFT_EMPTY_FULL=1 sweeps the whole registry
+(~4 min).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC_SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    # the three that crashed when this gate was introduced
+    "ann_ivf_topk",
+    "ann_jl_rerank_topk",
+    "ann_recall_vs_exact",
+    # one per family: scan/dedup/encode/join/agg/window/set/text/stream-adj
+    "chunk_scan_fixed",
+    "dedup_hash_links",
+    "dedup_encode_global",
+    "roundtrip_recovery_global",
+    "catalog_join",
+    "q1_pricing_summary",
+    "window_first_last_frames",
+    "set_ops_bag_semantics",
+    "minhash_lsh_neardup",
+    "simhash_neardup_pairs",
+    "corpus_novelty_curve",
+    "vocab_coverage_curve",
+    "source_span_overlap",
+    "neardup_method_agreement",
+    "neardup_candidate_cost",
+    "corpus_canonical_docs",
+    "doc_unigram_logprob",
+    "sequence_packing_bins",
+    "media_feature_extract",
+    "events_hourly_gapfill",
+    "asof_latest_order_per_event",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_empty")
+    for f in os.listdir(SRC_SF):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(SRC_SF, f))
+            pq.write_table(
+                pa.table(
+                    {n: pa.array([], type=schema.field(n).type) for n in schema.names}
+                ),
+                str(d / f),
+            )
+    return str(d)
+
+
+def test_every_query_survives_an_empty_corpus(spark, empty_sf):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = (
+        sorted(qs)
+        if os.environ.get("SPARK_GRAFT_EMPTY_FULL")
+        else [n for n in SUBSET if n in qs]
+    )
+    assert names
+    failures = []
+    for name in names:
+        try:
+            qs[name](spark, empty_sf).limit(5).collect()
+        except Exception as ex:  # noqa: BLE001 - we report, not mask
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
