@@ -135,6 +135,12 @@ def media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ws, hs, nb, md = [], [], [], []
             for p in pdf["payload"]:
+                if p is None:  # NULL source row → NULL features (the oracle's
+                    ws.append(None)  # substring/octet_length of NULL agrees)
+                    hs.append(None)
+                    nb.append(None)
+                    md.append(None)
+                    continue
                 b = bytes(p)
                 w, h = parse_image_dims(b)  # strict: malformed header raises
                 ws.append(w)
@@ -144,9 +150,11 @@ def media_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
-                    "width": ws,
-                    "height": hs,
-                    "n_bytes": nb,
+                    # nullable extension dtypes: a None in a plain int column
+                    # becomes float NaN and fails the Arrow int cast
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
                     "payload_md5": md,
                 }
             )

@@ -85,7 +85,11 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _utf8_bytes_udf():
     @pandas_udf("long")
     def _utf8_bytes(s: pd.Series) -> pd.Series:
-        return s.str.encode("utf-8").str.len().astype("int64")
+        # nullable Int64, not int64: a NULL text row is NaN after the str
+        # accessor, and astype(int64) raises IntCastingNaNError — Int64
+        # round-trips the null through Arrow as SQL NULL (matching
+        # octet_length(NULL) in both engines)
+        return s.str.encode("utf-8").str.len().astype("Int64")
 
     return _utf8_bytes
 

@@ -86,3 +86,55 @@ def test_every_query_survives_an_empty_corpus(spark, empty_sf):
         except Exception as ex:  # noqa: BLE001 - we report, not mask
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def null_sf(tmp_path_factory) -> str:
+    """sf0.001 with NULLs injected into documents' nullable columns — the
+    second degenerate-input class (the data generator never emits nulls, so
+    null paths are otherwise untested; this sweep found a pandas
+    astype(int64)-on-NaN crash and a bytes(None) crash in the image
+    sniffer)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    for f in os.listdir(SRC_SF):
+        if not f.endswith(".parquet"):
+            continue
+        t = f[: -len(".parquet")]
+        src = os.path.join(SRC_SF, f)
+        if t == "documents":
+            con.execute(
+                f"""COPY (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE text END AS text,
+                  CASE WHEN doc_id % 11 = 5 THEN NULL ELSE lang END AS lang,
+                  CASE WHEN doc_id % 13 = 6 THEN NULL ELSE source END AS source,
+                  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END AS n_chars
+                FROM read_parquet('{src}')) TO '{d / f}' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}')) TO '{d / f}' "
+                "(FORMAT PARQUET)"
+            )
+    return str(d)
+
+
+def test_every_query_survives_null_documents(spark, null_sf):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = (
+        sorted(qs)
+        if os.environ.get("SPARK_GRAFT_EMPTY_FULL")
+        else [n for n in SUBSET if n in qs]
+        + ["pandas_scalar_utf8_bytes", "media_image_dims"]
+    )
+    failures = []
+    for name in names:
+        try:
+            qs[name](spark, null_sf).limit(5).collect()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
