@@ -543,8 +543,13 @@ def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        # NULL for a 1-row group (sample stddev is undefined; DuckDB's /0
+        # yields NULL, ANSI Spark would throw) — the n>1 guard matches
         F.round(
-            F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))), 6
+            F.when(
+                n > 1, F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1)))
+            ),
+            6,
         ).alias("stddev_qty"),
         F.round((sum_qd - sum_q * sum_d / n) / n, 6).alias("covar_qty_disc"),
         n.alias("n"),

@@ -138,3 +138,40 @@ def test_every_query_survives_null_documents(spark, null_sf):
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory) -> str:
+    """Every table truncated to ONE row — the window/quantile/sample-stat
+    edge (this sweep found the sample-stddev n−1 divisor throwing under
+    ANSI for 1-row groups)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_one")
+    con = duckdb.connect()
+    for f in os.listdir(SRC_SF):
+        if f.endswith(".parquet"):
+            src = os.path.join(SRC_SF, f)
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') LIMIT 1) "
+                f"TO '{d / f}' (FORMAT PARQUET)"
+            )
+    return str(d)
+
+
+def test_every_query_survives_a_one_row_corpus(spark, one_row_sf):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = (
+        sorted(qs)
+        if os.environ.get("SPARK_GRAFT_EMPTY_FULL")
+        else [n for n in SUBSET if n in qs] + ["stats_aggregates_lineitem"]
+    )
+    failures = []
+    for name in names:
+        try:
+            qs[name](spark, one_row_sf).limit(5).collect()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
