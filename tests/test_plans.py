@@ -398,3 +398,26 @@ def test_tpch_extra2_shapes(spark, sf_dir):
     assert "LeftAnti" in p16 and "BroadcastNestedLoopJoin" not in p16
     p20 = formatted_plan(q("q20_excess_suppliers", spark, sf_dir))
     assert "LeftSemi" in p20 and "BroadcastNestedLoopJoin" not in p20
+
+
+def test_source_overlap_pair_join_is_distinct_level(spark, sf_dir):
+    """The cross-source pair join must consume the DISTINCT (source,
+    span-hash) aggregate, not raw span occurrences — a hot boilerplate
+    span's fanout is then bounded by n_sources², never corpus frequency.
+    Pinned as: no nested-loop join, and the self-join sits above
+    HashAggregates (the distinct) in the executed plan."""
+    plan = formatted_plan(q("source_span_overlap", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # the per-source totals must ride in as broadcasts, not shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_coverage_window_sees_only_survivors(spark, sf_dir):
+    """The coverage curve's global rank window must be fed by the k-th-value
+    prefilter join (same discipline as top_tokens_corpus) — never a
+    single-partition sort over the full vocabulary."""
+    plan = formatted_plan(q("vocab_coverage_curve", spark, sf_dir))
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan  # the distributed k-th-value probe
