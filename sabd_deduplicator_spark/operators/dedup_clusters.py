@@ -575,23 +575,32 @@ def neardup_candidate_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final 3-row broadcast. The oracle re-derives every census from the
     method oracles' own CTE fragments, so the report stays value-checked
     against the same bucket definitions the detectors use."""
-    mh_sizes = (
-        minhash_bands(doc_shingles(spark, sf_dir))
+    # The three bucket-size relations are tiny (bucket → n) but each one
+    # re-derives its method's expensive upstream pass (minhash signatures /
+    # simhash fingerprints / shingle DF counts) — memoized per corpus like
+    # the pair lists (same honesty discipline: cold first-call cost stays
+    # visible in committed bench runs lists; measured 2.17 s → warm report
+    # assembly only).
+    mh_sizes = _memo_pairs(
+        spark, "mh_bucket_sizes", sf_dir,
+        lambda: minhash_bands(doc_shingles(spark, sf_dir))
         .groupBy("band", "x", "y")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+        .filter(F.col("n") >= 2),
     )
-    sh_sizes = (
-        simhash_bands(text_simhash32(spark, sf_dir))
+    sh_sizes = _memo_pairs(
+        spark, "sh_bucket_sizes", sf_dir,
+        lambda: simhash_bands(text_simhash32(spark, sf_dir))
         .groupBy("band", "byte")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+        .filter(F.col("n") >= 2),
     )
-    ng_sizes = (
-        doc_shingles(spark, sf_dir)
+    ng_sizes = _memo_pairs(
+        spark, "ng_bucket_sizes", sf_dir,
+        lambda: doc_shingles(spark, sf_dir)
         .groupBy("sh")
         .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= DF_CAP))
+        .filter((F.col("n") >= 2) & (F.col("n") <= DF_CAP)),
     )
 
     def stats(sizes: DataFrame, label: str) -> DataFrame:
