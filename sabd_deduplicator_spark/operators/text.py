@@ -633,3 +633,51 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+from sabd_deduplicator_spark import registry as _registry  # noqa: E402
+
+
+@query(
+    "lang_id_confusion",
+    oracle=(
+        # wraps the REGISTERED guess oracle (same module, already in the
+        # registry when this decorator evaluates) so label and guess
+        # definitions cannot drift apart
+        "WITH g AS (" + _registry.ORACLES["text_language_guess"] + "), "
+        "tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM g "
+        "  GROUP BY lang) "
+        "SELECT g.lang AS lang, g.lang_guess AS lang_guess, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(CAST(count(*) AS DOUBLE) / max(t.n_lang), 6) AS pct_of_lang "
+        "FROM g JOIN tot t ON t.lang = g.lang "
+        "GROUP BY g.lang, g.lang_guess"
+    ),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    `lang` column — the audit every corpus pipeline runs on its classifier
+    before trusting per-language routing (a guess bucket absorbing two
+    labeled languages means the marker vocabularies don't separate them).
+    One row per observed (label, guess) pair with the within-label share.
+
+    Scale shape: the guess is a pure projection (text_language_guess), the
+    matrix is ONE hash aggregate on (lang, guess), and the per-label
+    totals (≤ n_languages rows) broadcast back onto the matrix rows. The
+    oracle wraps the registered guess oracle as a CTE, so label and guess
+    definitions cannot drift apart."""
+    g = text_language_guess(spark, sf_dir)
+    tot = g.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        g.groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_lang"), 6
+            ).alias("pct_of_lang"),
+        )
+    )

@@ -418,3 +418,24 @@ def test_vocab_coverage_monotone_and_reconciles(spark, sf_dir):
         assert abs(r["coverage"] - round(r["covered_tokens"] / total, 6)) < 1e-12
     if max(COVERAGE_KS) >= n_types:
         assert rows[-1]["covered_tokens"] == total
+
+
+def test_lang_confusion_partitions_the_corpus(spark, sf_dir):
+    """Matrix masses must partition the corpus: per-label shares sum to 1,
+    doc counts sum to the table count, and every (label, guess) row's share
+    re-derives from the counts."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.text import lang_id_confusion
+
+    rows = [r.asDict() for r in lang_id_confusion(spark, sf_dir).toLocalIterator()]
+    assert rows
+    n_total = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n_lang = sum(r["n_docs"] for r in rs)
+        for r in rs:
+            assert abs(r["pct_of_lang"] - round(r["n_docs"] / n_lang, 6)) < 1e-12
+        assert abs(sum(r["pct_of_lang"] for r in rs) - 1.0) < 1e-4
