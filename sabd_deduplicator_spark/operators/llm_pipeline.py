@@ -1174,3 +1174,112 @@ def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "quality_by_split",
+    oracle=(
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(CAST(len(list_filter(t, x -> x IN "
+        "  ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')"
+        "  )) AS DOUBLE) / len(t)), 6) AS avg_stop_ratio, "
+        "round(avg(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 6) "
+        "  AS avg_distinct_ratio, "
+        "round(avg(CAST(len(t) AS DOUBLE)), 6) AS avg_tokens "
+        "FROM (SELECT string_split(text, ' ') AS t, CASE "
+        f"  WHEN {_hex_bucket_sql('doc_id')} < 204 THEN 'train' "
+        f"  WHEN {_hex_bucket_sql('doc_id')} < 230 THEN 'val' "
+        "  ELSE 'test' END AS split "
+        "  FROM documents) "
+        "GROUP BY split"
+    ),
+)
+def quality_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-bias audit: quality-signal means per train/val/test bucket.
+    The md5 split is content-blind, so the per-split means should agree to
+    sampling noise — a divergent row means the split is confounded with
+    content and eval numbers can't be trusted. The check every pipeline
+    runs once per split scheme and every time the id scheme changes.
+
+    Scale shape: split label and quality signals are pure projections
+    (train_split_col / the text_quality_scores expressions); ONE hash
+    aggregate over ≤3 groups."""
+    from sabd_deduplicator_spark.operators.text import STOPWORDS
+
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    stop_ratio = (
+        F.expr(f"size(filter(tokens, x -> array_contains({stop_arr}, x)))")
+        .cast("double")
+        / F.size("tokens")
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct("tokens")).cast("double") / F.size("tokens")
+    )
+    return (
+        d.select(
+            train_split_col("doc_id").alias("split"),
+            stop_ratio.alias("sr"),
+            distinct_ratio.alias("dr"),
+            F.size("tokens").cast("double").alias("nt"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("sr"), 6).alias("avg_stop_ratio"),
+            F.round(F.avg("dr"), 6).alias("avg_distinct_ratio"),
+            F.round(F.avg("nt"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t, "
+        "  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nsp "
+        "  FROM documents), "
+        "spans AS (SELECT doc_id, source, "
+        "  unnest(range(0, nsp)) AS span_idx, "
+        "  unnest(list_transform(range(0, nsp), "
+        "  i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS span "
+        "  FROM toks), "
+        "ranked AS (SELECT source, row_number() OVER ("
+        "  PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM spans) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+        "round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "  / count(*), 6) AS dup_rate "
+        "FROM ranked GROUP BY source"
+    ),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication rate per source — the MASS companion to
+    source_span_overlap's distinct-set matrix: what fraction of each
+    source's span volume the corpus-wide first-occurrence rule would drop.
+    The per-source row a mixture designer reads next to
+    source_quality_scorecard before setting weights (a source that is 60%
+    already-seen mass contributes far less novel signal than its token
+    count suggests).
+
+    Scale shape: reuses span_survivorship's skew-safe min-of-packed-ordinal
+    aggregate with `source` carried through the explode (doc_id is unique,
+    so the carry adds no grouping cardinality); one extra ≤n_sources-row
+    aggregate on top."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    per = span_survivorship(d, carry=("source",), with_text=False)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_kept").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_spans",
+            "n_novel",
+            F.round(
+                F.lit(1.0) - F.col("n_novel").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -439,3 +439,43 @@ def test_lang_confusion_partitions_the_corpus(spark, sf_dir):
         for r in rs:
             assert abs(r["pct_of_lang"] - round(r["n_docs"] / n_lang, 6)) < 1e-12
         assert abs(sum(r["pct_of_lang"] for r in rs) - 1.0) < 1e-4
+
+
+def test_quality_by_split_masses_and_split_sizes(spark, sf_dir):
+    """The three buckets must cover the corpus at roughly 80/10/10 (md5
+    bucketing: binomial noise only) and every mean must be a valid ratio."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.llm_pipeline import quality_by_split
+
+    rows = {r["split"]: r.asDict() for r in quality_by_split(spark, sf_dir).toLocalIterator()}
+    assert set(rows) == {"train", "val", "test"}
+    n_total = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_total
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+    for r in rows.values():
+        assert 0.0 <= r["avg_stop_ratio"] <= 1.0
+        assert 0.0 < r["avg_distinct_ratio"] <= 1.0
+        assert r["avg_tokens"] > 0
+
+
+def test_dedup_rate_by_source_reconciles_with_corpus_totals(spark, sf_dir):
+    """Per-source span/novel masses must sum to span_dedup_corpus's totals
+    and every dup_rate must re-derive from its own row."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        dedup_rate_by_source,
+        span_dedup_corpus,
+    )
+
+    rows = [r.asDict() for r in dedup_rate_by_source(spark, sf_dir).toLocalIterator()]
+    assert rows
+    tot = span_dedup_corpus(spark, sf_dir).agg(
+        F.sum("n_spans").alias("spans"), F.sum("n_kept").alias("novel")
+    ).first()
+    assert sum(r["n_spans"] for r in rows) == tot["spans"]
+    assert sum(r["n_novel"] for r in rows) == tot["novel"]
+    for r in rows:
+        assert 0 < r["n_novel"] <= r["n_spans"]
+        assert abs(
+            r["dup_rate"] - round(1.0 - r["n_novel"] / r["n_spans"], 6)
+        ) < 1e-12
