@@ -615,3 +615,132 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _drain(ded, "append")
+
+
+def _stage_by_batch(spark: SparkSession, sf_dir: str, n_batches: int = 4) -> str:
+    """Stage documents as EXACTLY one parquet file per ingestion batch,
+    batch = doc_id % n_batches — unlike _stage's round-robin repartition,
+    each file's membership is data-defined (and therefore oracle-
+    expressible). File names and mtimes ascend with the batch id so the
+    file source's modification-time ordering replays batches in ingestion
+    order; the consuming state is an order-independent min-aggregate, so
+    this ordering is fidelity, not a correctness dependence. Memoized like
+    _stage (same staleness guards)."""
+    import glob
+    import shutil
+    import tempfile
+
+    src_path = f"{sf_dir}/documents.parquet"
+    st = os.stat(src_path)
+    key = f"{sf_dir}:documents:by_batch:{n_batches}:{st.st_mtime_ns}:{st.st_size}"
+    if key in _STAGE_MEMO:
+        out = _STAGE_MEMO[key]
+        if os.path.isdir(out) and any(
+            n.endswith(".parquet") for n in os.listdir(out)
+        ):
+            return out
+        del _STAGE_MEMO[key]
+    out = tempfile.mkdtemp(prefix="stream_batches_")
+    d = spark.read.parquet(src_path).select("doc_id", "text")
+    for b in range(n_batches):
+        tmp = tempfile.mkdtemp(prefix="stream_batch_part_")
+        (
+            d.filter(F.col("doc_id") % n_batches == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"batch-{b:04d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (st.st_mtime + b, st.st_mtime + b))
+    _STAGE_MEMO[key] = out
+    return out
+
+
+_NOVELTY_BATCHES = 4
+
+_SPAN_ARR_EXPR = (
+    "transform(sequence(0, CAST(ceil(size(s) / 8.0) AS INT) - 1), "
+    "i -> array_join(slice(s, i * 8 + 1, 8), ' '))"
+)
+
+
+@query(
+    "streaming_novelty_by_batch",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        f"  CAST(doc_id % {_NOVELTY_BATCHES} AS INT) AS batch, "
+        "  string_split(text, ' ') AS t, "
+        "  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nsp "
+        "  FROM documents), "
+        "spans AS (SELECT batch, unnest(list_transform(range(0, nsp), "
+        "  i -> md5(array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')))) AS h "
+        "  FROM toks), "
+        "firstb AS (SELECT h, CAST(min(batch) AS INT) AS batch FROM spans "
+        "  GROUP BY h), "
+        "novel AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_novel "
+        "  FROM firstb GROUP BY batch), "
+        "tot AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_spans "
+        "  FROM spans GROUP BY batch) "
+        "SELECT t.batch AS batch, t.n_spans, coalesce(n.n_novel, 0) AS n_novel, "
+        "round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_spans, 6) "
+        "  AS novelty_rate "
+        "FROM tot t LEFT JOIN novel n ON n.batch = t.batch"
+    ),
+)
+def streaming_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online corpus-saturation monitor — the STREAMING twin of
+    corpus_novelty_curve: ingest the corpus as real micro-batches
+    (batch = doc_id % 4, one staged file each), stream every document's
+    8-token spans through a complete-mode min(batch) aggregate keyed by
+    span hash (the state store holds each span's FIRST ingestion batch),
+    and report per-batch span mass, first-seen-here count, and novelty
+    rate. A falling curve tells an always-on ingestion pipeline when a
+    crawl stops contributing new content — without re-running a batch
+    job over the accumulated corpus.
+
+    Determinism: the state is min(batch), an ORDER-INDEPENDENT fold —
+    whichever copy of a span arrives first within or across micro-batches,
+    the drained (h, min batch) table is identical, so the report is fully
+    value-checked by the oracle. Contrast dropDuplicates (first-ARRIVAL
+    wins), whose winning row depends on intra-batch partition order.
+
+    Scale shape: the explode is a stateless streaming projection; state is
+    one (span-hash, int) entry per distinct span — the same footprint as
+    the dedup drains; per-batch totals are a batch-side aggregate over the
+    same staged files (harness composition, like streaming_neardup_dedup's
+    batch side)."""
+    staged = _stage_by_batch(spark, sf_dir, _NOVELTY_BATCHES)
+    batch_col = (F.col("doc_id") % _NOVELTY_BATCHES).cast("int").alias("batch")
+    spans_of = lambda df: (  # noqa: E731 - tiny local shape helper
+        df.select(
+            batch_col,
+            F.explode(F.expr(_SPAN_ARR_EXPR)).alias("span"),
+        ).select("batch", F.md5("span").alias("h"))
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("s", F.split("text", " "))
+    )
+    agg = spans_of(src).groupBy("h").agg(F.min("batch").alias("batch"))
+    drained = _drain(agg, "complete")
+    novel = drained.groupBy("batch").agg(F.count("*").alias("n_novel"))
+    tot = spans_of(
+        spark.read.parquet(staged).withColumn("s", F.split("text", " "))
+    ).groupBy("batch").agg(F.count("*").alias("n_spans"))
+    return (
+        tot.join(novel, "batch", "left")
+        .select(
+            "batch",
+            "n_spans",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_spans"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

@@ -51,6 +51,7 @@ SUBSET = [
     "vocab_coverage_curve",    # global rank + kth-value boundary over the vocab
     "neardup_method_agreement",  # composes all three near-dup pair pipelines
     "neardup_candidate_cost",  # bucket censuses over all three band structures
+    "streaming_novelty_by_batch",  # complete-mode min-fold state over spans
 ]
 
 

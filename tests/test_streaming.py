@@ -149,3 +149,32 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path_fa
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_novelty_reconciles_with_batch_span_dedup(spark, sf_dir):
+    """The drained per-batch novelty masses must sum to the BATCH span-dedup
+    totals (same first-occurrence rule, different execution engine), every
+    batch must appear, and batch 0 trivially has novelty over 0."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import span_dedup_corpus
+    from sabd_deduplicator_spark.streaming.registered import (
+        _NOVELTY_BATCHES,
+        streaming_novelty_by_batch,
+    )
+
+    rows = sorted(
+        (r.asDict() for r in streaming_novelty_by_batch(spark, sf_dir).toLocalIterator()),
+        key=lambda r: r["batch"],
+    )
+    assert [r["batch"] for r in rows] == list(range(_NOVELTY_BATCHES))
+    tot = span_dedup_corpus(spark, sf_dir).agg(
+        F.sum("n_spans").alias("spans"), F.sum("n_kept").alias("novel")
+    ).first()
+    assert sum(r["n_spans"] for r in rows) == tot["spans"]
+    # total distinct spans is partition-invariant: the streaming min(batch)
+    # state and the batch min(packed doc ordinal) rule count the same set
+    assert sum(r["n_novel"] for r in rows) == tot["novel"]
+    for r in rows:
+        assert 0 < r["n_novel"] <= r["n_spans"]
+        assert abs(
+            r["novelty_rate"] - round(r["n_novel"] / r["n_spans"], 6)
+        ) < 1e-12
