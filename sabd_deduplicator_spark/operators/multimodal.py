@@ -187,3 +187,131 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.max("meta_width").alias("max_width"),
     )
+
+
+def _le_u16_sql(byte_off: int) -> str:
+    """LE u16 at 0-based byte offset o of hex(payload): swap the two pairs."""
+    o = 2 * byte_off + 1
+    return (
+        f"CAST(CAST('0x' || substring(hex(payload), {o + 2}, 2) "
+        f"|| substring(hex(payload), {o}, 2) AS BIGINT) AS INT)"
+    )
+
+
+def _le_u32_sql(byte_off: int) -> str:
+    o = 2 * byte_off + 1
+    parts = " || ".join(
+        f"substring(hex(payload), {o + 2 * i}, 2)" for i in (3, 2, 1, 0)
+    )
+    return f"CAST(CAST('0x' || {parts} AS BIGINT) AS BIGINT)"
+
+
+def _le_enc_sql(expr: str, n_bytes: int) -> str:
+    """int SQL expression → fixed-width LITTLE-endian bytes in DuckDB:
+    BE hex via lpad(hex(x)), byte pairs concatenated in reverse, from_hex.
+    Inlined (no CREATE MACRO) so the oracle stays ONE statement — the
+    driver's oracle runner is not guaranteed to accept multi-statement
+    SQL."""
+    be = f"lpad(hex({expr}), {2 * n_bytes}, '0')"
+    pairs = " || ".join(
+        f"substring({be}, {2 * i + 1}, 2)" for i in reversed(range(n_bytes))
+    )
+    return f"from_hex({pairs})"
+
+
+_WAV_BLOBS_CTE = (
+    # byte-identical twin of sources/multimodal.synthesize_audio_blobs
+    "SELECT doc_id AS blob_id, "
+    f"encode('RIFF') || {_le_enc_sql('36 + dl', 4)} || encode('WAVE') "
+    f"|| encode('fmt ') || {_le_enc_sql('16', 4)} || {_le_enc_sql('1', 2)} "
+    f"|| {_le_enc_sql('ch', 2)} || {_le_enc_sql('rate', 4)} "
+    f"|| {_le_enc_sql('rate * ba', 4)} || {_le_enc_sql('ba', 2)} "
+    f"|| {_le_enc_sql('bits', 2)} || encode('data') "
+    f"|| {_le_enc_sql('dl', 4)} || encode(text) "
+    "AS payload FROM ("
+    "  SELECT doc_id, text, CAST(doc_id % 2 + 1 AS INT) AS ch, "
+    "  CAST(8000 + (n_chars % 5) * 4000 AS INT) AS rate, "
+    "  CAST(8 + (n_chars % 2) * 8 AS INT) AS bits, "
+    "  CAST((doc_id % 2 + 1) * (8 + (n_chars % 2) * 8) / 8 AS INT) AS ba, "
+    "  CAST(octet_length(encode(text)) AS INT) AS dl "
+    "  FROM documents)"
+)
+
+
+@query(
+    "media_audio_meta",
+    oracle=(
+        # RIFF/WAV header extraction via LE substring arithmetic over
+        # hex(payload): channels u16@22, rate u32@24, byte_rate u32@28,
+        # bits u16@34, data_len u32@40 (canonical 44-byte PCM header).
+        "WITH wav AS (" + _WAV_BLOBS_CTE + ") "
+        "SELECT blob_id, "
+        f"{_le_u16_sql(22)} AS channels, "
+        f"CAST({_le_u32_sql(24)} AS INT) AS sample_rate, "
+        f"{_le_u16_sql(34)} AS bits, "
+        f"CAST({_le_u32_sql(40)} AS BIGINT) AS data_bytes, "
+        f"CAST(({_le_u32_sql(40)}) * 1000 // ({_le_u32_sql(28)}) AS BIGINT) "
+        "  AS est_duration_ms, "
+        "md5(hex(payload)) AS payload_md5 "
+        "FROM wav"
+    ),
+)
+def media_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata extraction with a FULL value oracle — the audio twin
+    of media_image_dims: payloads are real RIFF/WAV containers
+    (synthesize_audio_blobs), the Spark side reads the header with the
+    production pure-Python parser (parse_wav_meta — struct reads at the
+    canonical offsets, no codec), and DuckDB re-derives every field with
+    little-endian substring arithmetic over hex(payload). est_duration_ms
+    is integer-exact (data_bytes · 1000 div byte_rate) so both engines
+    agree bit-for-bit.
+
+    Scale shape: one narrow codegen projection building the containers +
+    one Arrow-batched mapInPandas reading 44 bytes per blob — linear,
+    zero Exchanges, same posture as media_image_dims."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from sabd_deduplicator_spark.sources.multimodal import (
+        parse_wav_meta,
+        synthesize_audio_blobs,
+    )
+
+    blobs = synthesize_audio_blobs(spark, sf_dir).select("blob_id", "payload")
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ch, rt, bt, db, dur, md = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    for lst in (ch, rt, bt, db, dur, md):
+                        lst.append(None)
+                    continue
+                b = bytes(p)
+                channels, rate, bits, byte_rate, data_len = parse_wav_meta(b)
+                ch.append(channels)
+                rt.append(rate)
+                bt.append(bits)
+                db.append(data_len)
+                dur.append(data_len * 1000 // byte_rate)
+                md.append(hashlib.md5(b.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "channels": pd.array(ch, dtype="Int32"),
+                    "sample_rate": pd.array(rt, dtype="Int32"),
+                    "bits": pd.array(bt, dtype="Int32"),
+                    "data_bytes": pd.array(db, dtype="Int64"),
+                    "est_duration_ms": pd.array(dur, dtype="Int64"),
+                    "payload_md5": md,
+                }
+            )
+
+    return blobs.mapInPandas(
+        sniff,
+        "blob_id bigint, channels int, sample_rate int, bits int, "
+        "data_bytes bigint, est_duration_ms bigint, payload_md5 string",
+    )

@@ -298,3 +298,67 @@ def resize_media_plan(
             )
 
     return blobs.mapInPandas(resample, schema=RESIZE_SCHEMA)
+
+
+def _le_bytes(col: F.Column, n_bytes: int) -> F.Column:
+    """Integer column → fixed-width LITTLE-endian bytes: big-endian hex via
+    lpad(hex), then the byte pairs concatenated in reverse. Every call is a
+    substring/concat both engines share, so RIFF containers built from this
+    are byte-identical across Spark and DuckDB."""
+    be = F.lpad(F.hex(col), 2 * n_bytes, "0")
+    pairs = [F.substring(be, 2 * i + 1, 2) for i in reversed(range(n_bytes))]
+    return F.unhex(F.concat(*pairs))
+
+
+def parse_wav_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Pure-Python RIFF/WAV header read — like parse_image_dims, the audio
+    metadata lives in FIXED header fields, no codec needed: (channels,
+    sample_rate, bits_per_sample, byte_rate, data_len) from the canonical
+    44-byte PCM header. Raises ValueError on a non-WAV payload."""
+    b = payload
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE" or b[12:16] != b"fmt ":
+        raise ValueError("not a RIFF/WAVE container")
+    channels = int.from_bytes(b[22:24], "little")
+    rate = int.from_bytes(b[24:28], "little")
+    byte_rate = int.from_bytes(b[28:32], "little")
+    bits = int.from_bytes(b[34:36], "little")
+    if b[36:40] != b"data":
+        raise ValueError("WAV without a data chunk at the canonical offset")
+    data_len = int.from_bytes(b[40:44], "little")
+    return channels, rate, bits, byte_rate, data_len
+
+
+def synthesize_audio_blobs(spark, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAV containers with planted audio metadata (the audio twin
+    of synthesize_image_blobs): a canonical 44-byte PCM header — RIFF size,
+    fmt chunk with channels/sample-rate/byte-rate/block-align/bits, data
+    chunk length — followed by the document's text bytes as the stand-in
+    sample stream. All fields derive from doc_id/n_chars through
+    expressions both engines share, so header extraction is fully
+    oracle-checkable."""
+    from sabd_deduplicator_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    channels = (F.pmod("doc_id", F.lit(2)) + 1).cast("int")          # 1..2
+    rate = (F.lit(8000) + F.pmod("n_chars", F.lit(5)) * 4000).cast("int")
+    bits = (F.lit(8) + F.pmod("n_chars", F.lit(2)) * 8).cast("int")  # 8|16
+    block_align = (channels * bits / 8).cast("int")
+    byte_rate = (rate * block_align).cast("int")
+    data_len = F.octet_length(F.encode("text", "UTF-8")).cast("int")
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes((F.lit(36) + data_len).cast("int"), 4),
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        _le_bytes(F.lit(16).cast("int"), 4),   # fmt chunk size
+        _le_bytes(F.lit(1).cast("int"), 2),    # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(bits, 2),
+        F.lit(b"data"),
+        _le_bytes(data_len, 4),
+        F.encode("text", "UTF-8"),
+    )
+    return d.select(F.col("doc_id").alias("blob_id"), wav.alias("payload"))
