@@ -315,3 +315,93 @@ def media_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blob_id bigint, channels int, sample_rate int, bits int, "
         "data_bytes bigint, est_duration_ms bigint, payload_md5 string",
     )
+
+
+_MP4_BLOBS_CTE = (
+    # byte-identical twin of sources/multimodal.synthesize_video_blobs:
+    # ftyp(16) || moov(8+mvhd108) || mdat(8+text) — all fields BE hex→unhex
+    "SELECT doc_id AS blob_id, "
+    "unhex('00000010') || encode('ftypisom') || unhex('00000000') "
+    "|| unhex('00000074') || encode('moov') "
+    "|| unhex('0000006C') || encode('mvhd') || unhex(repeat('00', 12)) "
+    "|| unhex(lpad(hex(CAST(600 + (n_chars % 4) * 300 AS INT)), 8, '0')) "
+    "|| unhex(lpad(hex(CAST((n_chars * 13) % 100000 AS INT)), 8, '0')) "
+    "|| unhex(repeat('00', 80)) "
+    "|| unhex(lpad(hex(CAST(8 + octet_length(encode(text)) AS INT)), 8, '0')) "
+    "|| encode('mdat') || encode(text) "
+    "AS payload FROM documents"
+)
+
+
+@query(
+    "media_video_meta",
+    oracle=(
+        # canonical layout ⇒ mvhd timescale at abs byte 44, duration at 48
+        # (hex chars 89/97); the SPARK side still walks boxes generically.
+        "WITH mp4 AS (" + _MP4_BLOBS_CTE + ") "
+        "SELECT blob_id, "
+        "CAST(CAST('0x' || substring(hex(payload), 89, 8) AS BIGINT) AS INT) "
+        "  AS timescale, "
+        "CAST(CAST('0x' || substring(hex(payload), 97, 8) AS BIGINT) AS BIGINT) "
+        "  AS duration_ticks, "
+        "CAST(CAST('0x' || substring(hex(payload), 97, 8) AS BIGINT) * 1000 "
+        "  // CAST('0x' || substring(hex(payload), 89, 8) AS BIGINT) AS BIGINT) "
+        "  AS duration_ms, "
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes, "
+        "md5(hex(payload)) AS payload_md5 "
+        "FROM mp4"
+    ),
+)
+def media_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-metadata extraction completing the multimodal triad: payloads
+    are real minimal ISO-BMFF/MP4 containers (synthesize_video_blobs), the
+    Spark side WALKS the box tree with the production parser
+    (parse_mp4_meta — u32-size/fourcc traversal to moov→mvhd, not fixed
+    offsets), and DuckDB re-derives timescale/duration from the canonical
+    layout's absolute offsets. duration_ms is integer-exact
+    (ticks · 1000 div timescale). Same linear zero-Exchange shape as the
+    image and audio twins."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from sabd_deduplicator_spark.sources.multimodal import (
+        parse_mp4_meta,
+        synthesize_video_blobs,
+    )
+
+    blobs = synthesize_video_blobs(spark, sf_dir).select("blob_id", "payload")
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ts, dur, ms, nb, md = [], [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    for lst in (ts, dur, ms, nb, md):
+                        lst.append(None)
+                    continue
+                b = bytes(p)
+                timescale, ticks = parse_mp4_meta(b)
+                ts.append(timescale)
+                dur.append(ticks)
+                ms.append(ticks * 1000 // timescale)
+                nb.append(len(b))
+                md.append(hashlib.md5(b.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "timescale": pd.array(ts, dtype="Int32"),
+                    "duration_ticks": pd.array(dur, dtype="Int64"),
+                    "duration_ms": pd.array(ms, dtype="Int64"),
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                    "payload_md5": md,
+                }
+            )
+
+    return blobs.mapInPandas(
+        sniff,
+        "blob_id bigint, timescale int, duration_ticks bigint, "
+        "duration_ms bigint, n_bytes bigint, payload_md5 string",
+    )

@@ -362,3 +362,73 @@ def synthesize_audio_blobs(spark, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8"),
     )
     return d.select(F.col("doc_id").alias("blob_id"), wav.alias("payload"))
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int]:
+    """Pure-Python ISO-BMFF (MP4) metadata read: WALK the top-level boxes
+    (u32-BE size + fourcc type), find `moov`, walk its children to `mvhd`
+    (version 0), and return (timescale, duration_ticks). A real box walk —
+    not fixed offsets — so any box order/preamble parses; raises ValueError
+    on a non-BMFF payload."""
+    b = payload
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i : i + 4], "big")
+            typ = b[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                raise ValueError("corrupt BMFF box")
+            yield typ, i + 8, i + size
+            i += size
+
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container")
+    for typ, lo, hi in walk(0, len(b)):
+        if typ == b"moov":
+            for t2, lo2, hi2 in walk(lo, hi):
+                if t2 == b"mvhd":
+                    if b[lo2] != 0:
+                        raise ValueError("mvhd version != 0")
+                    ts = int.from_bytes(b[lo2 + 12 : lo2 + 16], "big")
+                    dur = int.from_bytes(b[lo2 + 16 : lo2 + 20], "big")
+                    return ts, dur
+    raise ValueError("BMFF without moov/mvhd")
+
+
+def synthesize_video_blobs(spark, sf_dir: str) -> DataFrame:
+    """REAL minimal MP4 containers (the video leg of the triad): ftyp +
+    moov{mvhd v0 with planted timescale/duration} + mdat carrying the text
+    bytes. All big-endian fields via _be_bytes, so the container is
+    byte-identical across engines and header extraction is fully
+    oracle-checkable."""
+    from sabd_deduplicator_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    timescale = (F.lit(600) + F.pmod("n_chars", F.lit(4)) * 300).cast("int")
+    duration = F.pmod(F.col("n_chars") * 13, F.lit(100000)).cast("int")
+    data_len = F.octet_length(F.encode("text", "UTF-8")).cast("int")
+    ftyp = F.concat(
+        _be_bytes(F.lit(16).cast("int"), 8), F.lit(b"ftypisom"),
+        _be_bytes(F.lit(0).cast("int"), 8),
+    )
+    # mvhd v0 body: version/flags(4) ctime(4) mtime(4) timescale(4)
+    # duration(4) + 88 reserved/matrix bytes = 108-byte box
+    mvhd = F.concat(
+        _be_bytes(F.lit(108).cast("int"), 8), F.lit(b"mvhd"),
+        _be_bytes(F.lit(0).cast("int"), 8),   # version+flags
+        _be_bytes(F.lit(0).cast("int"), 8),   # ctime
+        _be_bytes(F.lit(0).cast("int"), 8),   # mtime
+        _be_bytes(timescale, 8),
+        _be_bytes(duration, 8),
+        F.lit(b"\x00" * 80),
+    )
+    moov = F.concat(_be_bytes(F.lit(116).cast("int"), 8), F.lit(b"moov"), mvhd)
+    mdat = F.concat(
+        _be_bytes((F.lit(8) + data_len).cast("int"), 8), F.lit(b"mdat"),
+        F.encode("text", "UTF-8"),
+    )
+    return d.select(
+        F.col("doc_id").alias("blob_id"),
+        F.concat(ftyp, moov, mdat).alias("payload"),
+    )

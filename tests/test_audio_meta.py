@@ -63,3 +63,50 @@ def test_audio_meta_fields_reconcile_with_planted_metadata(spark, sf_dir):
         assert r["bits"] == bits
         assert r["data_bytes"] == d["nb"]
         assert r["est_duration_ms"] == d["nb"] * 1000 // (rate * ba)
+
+
+def test_parse_mp4_meta_walks_reordered_boxes():
+    """The parser must WALK boxes, not assume offsets: free box injected
+    before moov, moov after mdat — both must still resolve mvhd."""
+    import struct
+
+    from sabd_deduplicator_spark.sources.multimodal import parse_mp4_meta
+
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd"
+        + struct.pack(">IIIII", 0, 0, 0, 1200, 54321) + b"\x00" * 80
+    )
+    moov = struct.pack(">I", 116) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    free = struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    mdat = struct.pack(">I", 12) + b"mdat" + b"abcd"
+    assert parse_mp4_meta(ftyp + free + moov + mdat) == (1200, 54321)
+    assert parse_mp4_meta(ftyp + mdat + moov) == (1200, 54321)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(ftyp + mdat)  # no moov
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x08mdat")  # no ftyp
+
+
+def test_video_meta_fields_reconcile_with_planted_metadata(spark, sf_dir):
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.multimodal import media_video_meta
+
+    rows = {
+        r["blob_id"]: r.asDict()
+        for r in media_video_meta(spark, sf_dir).toLocalIterator()
+    }
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .toLocalIterator()
+    }
+    assert set(rows) == set(docs)
+    for blob_id, r in rows.items():
+        nc = docs[blob_id]
+        ts = 600 + (nc % 4) * 300
+        dur = (nc * 13) % 100000
+        assert r["timescale"] == ts
+        assert r["duration_ticks"] == dur
+        assert r["duration_ms"] == dur * 1000 // ts
