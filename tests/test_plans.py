@@ -218,6 +218,15 @@ def test_media_image_dims_is_narrow_linear_scan(spark, sf_dir):
     assert "BatchEvalPython" not in formatted_plan(df)
 
 
+def test_media_audio_and_video_meta_are_narrow_linear_scans(spark, sf_dir):
+    """The audio/video twins must keep the image path's shape: codegen
+    container build + one Arrow header walk, ZERO Exchanges."""
+    for name in ("media_audio_meta", "media_video_meta"):
+        df = q(name, spark, sf_dir)
+        assert count_exchanges(df) == 0, name
+        assert "BatchEvalPython" not in formatted_plan(df), name
+
+
 def test_spread_if_narrow_is_noop_on_wide_input(spark, sf_dir):
     """The row-starved-scan fan-out (r5) must spread a single-split scan to
     cluster width AND stay a strict no-op (same object, zero added
