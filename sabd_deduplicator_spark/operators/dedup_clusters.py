@@ -642,3 +642,90 @@ def neardup_candidate_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("gen_pairs").cast("double") / F.col("dup_pairs"), 6),
         ).alias("cost_per_dup"),
     )
+
+
+@query(
+    "neardup_cluster_cohesion",
+    oracle=(
+        "WITH RECURSIVE " + _components_cte() + ", "
+        "nodes AS (SELECT DISTINCT doc_id, component_id FROM comp), "
+        "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs), "
+        "tri AS (SELECT n1.component_id, CAST(count(*) AS BIGINT) AS n_tri "
+        "  FROM e e1 JOIN e e2 ON e2.u = e1.v "
+        "  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v "
+        "  JOIN nodes n1 ON n1.doc_id = e1.u "
+        "  GROUP BY n1.component_id), "
+        "agg AS (SELECT n.component_id, "
+        "  CAST(count(DISTINCT n.doc_id) AS BIGINT) AS n_nodes, "
+        "  CAST(count(DISTINCT CASE WHEN e.u IS NOT NULL "
+        "    THEN e.u * 1000000 + e.v END) AS BIGINT) AS n_edges "
+        "  FROM nodes n LEFT JOIN e ON e.u = n.doc_id OR e.v = n.doc_id "
+        "  GROUP BY n.component_id) "
+        "SELECT a.component_id, a.n_nodes, a.n_edges, "
+        "coalesce(t.n_tri, 0) AS n_triangles, "
+        "round(CAST(2 * a.n_edges AS DOUBLE) "
+        "  / (a.n_nodes * (a.n_nodes - 1)), 6) AS density "
+        "FROM agg a LEFT JOIN tri t ON t.component_id = a.component_id "
+        "WHERE a.n_nodes >= 2"
+    ),
+)
+def neardup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion census over the near-dup graph: per connected
+    component, node/edge/triangle counts and edge density. This is the
+    transitive-merge SAFETY diagnostic: a dense (cliquish) cluster is a
+    template and its variants — collapsing it to one canonical doc is
+    right; a sparse chain (density → 2/n, zero triangles) means A~B~C
+    linked documents that are NOT pairwise similar, where transitive
+    dedup over-merges (the known failure mode of connected-components
+    dedup, and the reason SemDeDup-style pipelines re-verify inside
+    clusters).
+
+    Scale shape: edges come from the per-corpus pair memo; triangle
+    counting is the classic two-join enumeration over the (a<b)-oriented
+    edge list — each triangle a<b<c counted exactly once via
+    (a,b)⋈(b,c)⋈(a,c), both joins equi-joins on node keys. At 100 TB
+    orientation by DEGREE (low→high) instead of id bounds the join fanout
+    by sqrt(|E|) per edge (Suri & Vassilvitskii, WWW'11) with the same
+    plan shape; near-dup graphs are tiny relative to the corpus either
+    way. Components/labels ride the same memoized pipeline as
+    neardup_components."""
+    pairs = _memo_pairs(
+        spark, "jaccard", sf_dir,
+        lambda: ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    )
+    comp = neardup_components(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # triangles a<b<c: (a,b) ⋈ (b,c) ⋈ (a,c) — the `<` orientation of the
+    # pair list makes each triangle appear exactly once
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .join(comp.select(F.col("doc_id").alias("a"), "component_id"), "a")
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = comp.groupBy("component_id").agg(F.count("*").alias("n_nodes"))
+    edges = (
+        e.join(comp.select(F.col("doc_id").alias("u"), "component_id"), "u")
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        nodes.filter(F.col("n_nodes") >= 2)
+        .join(edges, "component_id", "left")
+        .join(F.broadcast(tri), "component_id", "left")
+        .select(
+            "component_id",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (F.lit(2) * F.coalesce("n_edges", F.lit(0))).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("density"),
+        )
+    )

@@ -202,3 +202,38 @@ def test_candidate_cost_reconciles_with_method_outputs(spark, sf_dir):
             assert abs(
                 r["cost_per_dup"] - round(r["gen_pairs"] / r["dup_pairs"], 6)
             ) < 1e-12
+
+
+def test_cluster_cohesion_reconciles_with_components_and_pairs(spark, sf_dir):
+    """Per-cluster node masses must cover every non-singleton component,
+    edge masses must sum to the pair-list size, triangles must respect the
+    density bound (a clique of n has C(n,3)), and density must re-derive."""
+    from sabd_deduplicator_spark.operators.dedup_clusters import (
+        neardup_cluster_cohesion,
+        neardup_components,
+    )
+    from sabd_deduplicator_spark.operators.similarity import ngram_jaccard_pairs
+
+    rows = [
+        r.asDict() for r in neardup_cluster_cohesion(spark, sf_dir).toLocalIterator()
+    ]
+    assert rows
+    comp_sizes = {
+        r["component_id"]: r["n"]
+        for r in neardup_components(spark, sf_dir)
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .toLocalIterator()
+    }
+    assert {r["component_id"] for r in rows} == set(comp_sizes)
+    n_pairs = ngram_jaccard_pairs(spark, sf_dir).count()
+    assert sum(r["n_edges"] for r in rows) == n_pairs
+    for r in rows:
+        n = r["n_nodes"]
+        assert n == comp_sizes[r["component_id"]]
+        assert n - 1 <= r["n_edges"] <= n * (n - 1) // 2  # connected .. clique
+        assert 0 <= r["n_triangles"] <= n * (n - 1) * (n - 2) // 6
+        assert abs(
+            r["density"] - round(2 * r["n_edges"] / (n * (n - 1)), 6)
+        ) < 1e-12
