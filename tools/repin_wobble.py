@@ -1,8 +1,10 @@
-"""Isolated 5-rep re-pin of the round-4 driver-run wobble suspects
-(judge r4 next-round #5): text_simhash32, udtf_tokenize_docs,
-text_winnow_fingerprint at sf0.1 — same noop-sink methodology as bench.py,
-JVM + Python-worker pools pre-warmed, per-query median + spread printed.
-Usage: python tools/repin_wobble.py [names...]
+"""Isolated 5-rep re-pin of bench_diff wobble suspects — same noop-sink
+methodology as bench.py, JVM + Python-worker pools pre-warmed, per-query
+median + spread printed. The arbiter for every flag a full-run diff
+raises: round 5 re-measured ~25 flags this way and every one landed back
+inside its committed band (in-run GC debt / canary over-correction, not
+regression). Default SUSPECTS = the queries that flagged most often in
+round-5 full runs. Usage: python tools/repin_wobble.py [names...]
 """
 
 from __future__ import annotations
@@ -17,7 +19,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from sabd_deduplicator_spark import registry
 from sabd_deduplicator_spark.session import get_spark
 
-SUSPECTS = ["text_simhash32", "udtf_tokenize_docs", "text_winnow_fingerprint"]
+SUSPECTS = [
+    "text_simhash32",
+    "udtf_tokenize_docs",
+    "text_winnow_fingerprint",
+    "span_dedup_corpus",          # flagged 3× in r5 full runs, always wobble
+    "q16_supplier_part_counts",   # band 0.79-1.37 across 12 pins
+    "neardup_split_leakage",      # in-run spikes, isolated == committed
+    "stats_aggregates_lineitem",
+    "semantic_dedup_corpus",      # cold pair-memo rep lands in full runs
+]
 REPS = 5
 SF_DIR = "/root/testdata/sf0.1"
 
