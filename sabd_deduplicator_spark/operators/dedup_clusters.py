@@ -409,6 +409,10 @@ def _pairs_cte(name: str) -> str:
 
 _METHOD_GRID = [("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")]
 
+# oracle VALUES literal interpolated from the same grid, so adding a method
+# means editing ONE list
+_METHOD_GRID_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _METHOD_GRID)
+
 
 @query(
     "neardup_method_agreement",
@@ -425,8 +429,7 @@ _METHOD_GRID = [("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash
         "  CAST(count(*) AS BIGINT) AS shared "
         "  FROM allp a JOIN allp b ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b "
         "    AND a.method < b.method GROUP BY 1, 2), "
-        "grid AS (SELECT * FROM (VALUES ('minhash', 'ngram'), "
-        "  ('minhash', 'simhash'), ('ngram', 'simhash')) "
+        f"grid AS (SELECT * FROM (VALUES {_METHOD_GRID_SQL}) "
         "  AS v(method_a, method_b)) "
         "SELECT g.method_a, g.method_b, "
         "coalesce(i.shared, 0) AS shared_pairs, "
@@ -657,8 +660,10 @@ def neardup_candidate_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  GROUP BY n1.component_id), "
         "agg AS (SELECT n.component_id, "
         "  CAST(count(DISTINCT n.doc_id) AS BIGINT) AS n_nodes, "
+        # string key, not u*1e6+v: integer packing collides silently once
+        # doc ids reach 1e6 (the same hazard _packed_ordinal raises on)
         "  CAST(count(DISTINCT CASE WHEN e.u IS NOT NULL "
-        "    THEN e.u * 1000000 + e.v END) AS BIGINT) AS n_edges "
+        "    THEN e.u || ':' || e.v END) AS BIGINT) AS n_edges "
         "  FROM nodes n LEFT JOIN e ON e.u = n.doc_id OR e.v = n.doc_id "
         "  GROUP BY n.component_id) "
         "SELECT a.component_id, a.n_nodes, a.n_edges, "

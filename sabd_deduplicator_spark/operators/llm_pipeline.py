@@ -36,7 +36,7 @@ from sabd_deduplicator_spark.operators.similarity import (
     _MINHASH_ORACLE as _MINHASH_ORACLE_SQL,
     minhash_lsh_neardup,
 )
-from sabd_deduplicator_spark.operators.text import with_tokens
+from sabd_deduplicator_spark.operators.text import _STOP_SQL, with_tokens
 from sabd_deduplicator_spark.registry import query
 
 _HEX = "0123456789abcdef"
@@ -1063,8 +1063,11 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = span_survivorship(d, with_text=False)
     # scalar doc count from the BASE table (parquet row-group metadata —
     # near-free), not from `per`: counting `per` would execute the whole
-    # span-survivorship pipeline a second time for one number, and the two
-    # counts are identical (span_survivorship emits one row per document).
+    # span-survivorship pipeline a second time for one number — and the
+    # base count is what the ORACLE's denominator uses (count(*) FROM
+    # documents). The two counts differ on NULL-text docs (posexplode
+    # drops them from `per`), so counting `per` would be WRONG, not just
+    # slow, on a null-bearing corpus.
     n_docs = table(spark, sf_dir, "documents").count() or 1
     # long DIV long, not double '/': double division can misround a bucket
     # boundary once doc_id * 10 exceeds 2^53 — ids at 100 TB scale do.
@@ -1179,9 +1182,12 @@ def source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_by_split",
     oracle=(
+        # stopword list interpolated from text._STOP_SQL (the same source
+        # text_quality_scores' oracle uses) so an edit to STOPWORDS cannot
+        # silently desynchronize the two oracles
         "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
         "round(avg(CAST(len(list_filter(t, x -> x IN "
-        "  ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')"
+        f"  ({_STOP_SQL})"
         "  )) AS DOUBLE) / len(t)), 6) AS avg_stop_ratio, "
         "round(avg(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 6) "
         "  AS avg_distinct_ratio, "

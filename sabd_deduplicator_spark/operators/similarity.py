@@ -666,6 +666,18 @@ IVF_PROBES = 4
 
 _IVF_MEMO: dict = {}
 
+# empty-corpus probe memoized per sf_dir: the guard must not cost the hot
+# path a Spark job per call (same discipline as _jl_corpus_dim)
+_EMPTY_MEMO: dict = {}
+
+
+def _embeddings_empty(spark: SparkSession, sf_dir: str) -> bool:
+    if sf_dir not in _EMPTY_MEMO:
+        _EMPTY_MEMO[sf_dir] = (
+            table(spark, sf_dir, "embeddings").select("vec_id").isEmpty()
+        )
+    return _EMPTY_MEMO[sf_dir]
+
 
 IVF_TRAIN_BOUND = 4096  # max vectors ever pulled to the driver for training
 
@@ -856,7 +868,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURED per probe count in ann_recall_vs_exact and floored on the
     clustered fixture (tests/test_ann_clustered.py)."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if e.isEmpty():  # no corpus → no quantizer to train; keep the schema
+    if _embeddings_empty(spark, sf_dir):  # no quantizer to train; keep schema
         return spark.createDataFrame([], "vec_id bigint, cell int, cos double")
     return ivf_topk(spark, e, probes=IVF_PROBES, k=10, memo_key=sf_dir)
 
@@ -1000,7 +1012,7 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-cluster fixture."""
     eps = 1e-9
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if e.isEmpty():  # no corpus → nothing to grade; keep the schema
+    if _embeddings_empty(spark, sf_dir):  # nothing to grade; keep the schema
         return spark.createDataFrame(
             [],
             "method string, k int, probes int, n_queries bigint, "
