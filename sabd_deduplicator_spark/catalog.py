@@ -66,6 +66,43 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+def source_token(sf_dir: str, name: str) -> str:
+    """Staleness token for one driver table: the parquet path plus its
+    (max mtime_ns, total size) — walked over part files when the path is a
+    directory. Module-level memos key derived values by this token instead
+    of the bare path, so an in-process regeneration of the same path
+    (empty→non-empty tmp corpora in test sweeps) invalidates them naturally
+    rather than serving a stale frame — the discipline streaming._stage
+    established for its staged input copies."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            mt, sz = 0, 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    mt = max(mt, st.st_mtime_ns)
+                    sz += st.st_size
+            return f"{path}:{mt}:{sz}"
+        st = os.stat(path)
+        return f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return f"{path}:missing"
+
+
+def evict_dead_app_entries(memo: dict, app_id: str) -> None:
+    """Drop memo entries owned by OTHER Spark applications at insert time.
+    localCheckpoint'ed DataFrames pin executor storage blocks for as long
+    as a Python reference survives; a long-lived process that cycles many
+    sessions (test suites sweeping tmp corpora) must not accumulate blocks
+    for applications that no longer exist. Callers key such memos by tuples
+    whose FIRST element is sparkContext.applicationId."""
+    for k in [k for k in memo if isinstance(k, tuple) and k and k[0] != app_id]:
+        del memo[k]
+
+
 def spread_if_narrow(df: DataFrame) -> DataFrame:
     """Fan a ROW-STARVED scan out to full cluster width before a CPU-heavy
     derivation (shingle/token explodes, per-row digests).

@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sabd_deduplicator_spark import registry
-from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.catalog import (
+    evict_dead_app_entries,
+    source_token,
+    table,
+)
 from sabd_deduplicator_spark.operators.similarity import (
     DF_CAP,
     _MINHASH_BANDS_SQL,
@@ -69,8 +73,12 @@ _PAIRS_MEMO: dict = {}
 
 
 def _memo_pairs(spark: SparkSession, kind: str, sf_dir: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, kind, source_token(sf_dir, "documents"))
     if key not in _PAIRS_MEMO:
+        # entries from dead applications pin unreleasable checkpoint blocks;
+        # drop them on insert so sweeping many sessions can't accumulate
+        evict_dead_app_entries(_PAIRS_MEMO, app)
         _PAIRS_MEMO[key] = build().localCheckpoint()
     return _PAIRS_MEMO[key]
 

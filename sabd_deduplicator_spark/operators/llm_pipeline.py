@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.catalog import (
+    evict_dead_app_entries,
+    source_token,
+    table,
+)
 from sabd_deduplicator_spark.operators.dedup import _packed_ordinal
 from sabd_deduplicator_spark.operators.similarity import (
     _MINHASH_ORACLE as _MINHASH_ORACLE_SQL,
@@ -723,9 +727,12 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derive the full two-aggregate + vocab-join pipeline (measured
     1.15/1.30/1.69 s at sf0.1 pre-memo). Same pattern and cold-cost
     honesty discipline as the near-dup pair memo (PERF.md)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId, source_token(sf_dir, "documents")
+    )
     if memo_key in _CE_MEMO:
         return _CE_MEMO[memo_key]
+    evict_dead_app_entries(_CE_MEMO, memo_key[0])
     d = with_tokens(table(spark, sf_dir, "documents"))
     dt = (
         d.select("doc_id", "lang", F.explode("tokens").alias("token"))

@@ -758,6 +758,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("revenue").alias("kth"))
     )
     survivors = rev.join(broadcast(kth), rev.revenue >= kth.kth)
+    # bounded global window: input is the k-th-value survivor set (<= 10 + ties)
     w = Window.orderBy(F.desc("revenue"), "o_orderkey")
     return (
         survivors.withColumn("rnk", F.rank().over(w))
@@ -782,6 +783,8 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile assignment — deterministic because the order
     (acctbal desc, custkey) is total."""
     c = table(spark, sf_dir, "customer")
+    # global window is the OPERATOR's semantics (total-order decile); scale
+    # path = range-partitioned rank from sampled quantile boundaries
     w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
     return c.select(
         "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
@@ -848,6 +851,7 @@ def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = spend.join(
         broadcast(kth), spend.spend >= kth.kth
     ).select("c_custkey", "spend")
+    # bounded global window: input is the k-th-value survivor set (<= 10 + ties)
     w = Window.orderBy(F.desc("spend"))
     return (
         survivors.withColumn("rnk", F.rank().over(w).cast("long"))
@@ -1282,6 +1286,8 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions over a total order (acctbal, custkey) —
     rank/(n-1) and rank/n are engine-stable once the order has no ties."""
     c = table(spark, sf_dir, "customer")
+    # global window is the OPERATOR's semantics (corpus-total distribution
+    # ranks); scale path = range-partitioned rank, same as ntile above
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.catalog import (
+    evict_dead_app_entries,
+    source_token,
+    table,
+)
 from sabd_deduplicator_spark.registry import query
 
 # --- shared expressions --------------------------------------------------
@@ -120,6 +124,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = scored.join(broadcast(kth), scored.cos >= kth.kth).select(
         "vec_id", "label", "cos"
     )
+    # bounded global window: input is the k-th-value survivor set (<= 10 + ties)
     w = Window.orderBy(F.desc("cos"), "vec_id")
     return (
         survivors.withColumn("rn", F.row_number().over(w))
@@ -672,11 +677,15 @@ _EMPTY_MEMO: dict = {}
 
 
 def _embeddings_empty(spark: SparkSession, sf_dir: str) -> bool:
-    if sf_dir not in _EMPTY_MEMO:
-        _EMPTY_MEMO[sf_dir] = (
+    # keyed by the source file's staleness token, not the bare path: an
+    # in-process regeneration of the same tmp path (empty→non-empty) must
+    # invalidate the probe, not serve a permanently-empty corpus
+    key = source_token(sf_dir, "embeddings")
+    if key not in _EMPTY_MEMO:
+        _EMPTY_MEMO[key] = (
             table(spark, sf_dir, "embeddings").select("vec_id").isEmpty()
         )
-    return _EMPTY_MEMO[sf_dir]
+    return _EMPTY_MEMO[key]
 
 
 IVF_TRAIN_BOUND = 4096  # max vectors ever pulled to the driver for training
@@ -850,6 +859,7 @@ def ivf_topk(
         .agg(F.min("cos").alias("kth"))
     )
     survivors = scored.join(broadcast(kth), scored.cos >= kth.kth)
+    # bounded global window: input is the k-th-value survivor set (<= k + ties)
     w = Window.orderBy(F.desc("cos"), "vec_id")
     return (
         survivors.withColumn("rn", F.row_number().over(w))
@@ -870,7 +880,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if _embeddings_empty(spark, sf_dir):  # no quantizer to train; keep schema
         return spark.createDataFrame([], "vec_id bigint, cell int, cos double")
-    return ivf_topk(spark, e, probes=IVF_PROBES, k=10, memo_key=sf_dir)
+    return ivf_topk(
+        spark, e, probes=IVF_PROBES, k=10,
+        memo_key=source_token(sf_dir, "embeddings"),
+    )
 
 
 # --- 3c. ANN quality report: measured recall vs the exact scan --------------
@@ -1018,14 +1031,18 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method string, k int, probes int, n_queries bigint, "
             "n_hits bigint, recall double",
         )
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId, source_token(sf_dir, "embeddings")
+    )
     if memo_key not in _RECALL_MEMO:
+        evict_dead_app_entries(_RECALL_MEMO, memo_key[0])
         _RECALL_MEMO[memo_key] = {
             # exact top-1 for the graded sample (≤RECALL_SAMPLE rows)
             "exact": exact_top1_for_sample(spark, e).localCheckpoint(),
             # widest-probe IVF scores (≤ max(sweep)/CLUSTERS of the corpus)
             "scored": ivf_scored_candidates(
-                spark, e, probes=max(IVF_PROBE_SWEEP), memo_key=sf_dir
+                spark, e, probes=max(IVF_PROBE_SWEEP),
+                memo_key=memo_key[1],
             ).localCheckpoint(),
             # exact cosine top-10 for the probe vector (10 rows)
             "exact10": similarity_topk_cosine(spark, sf_dir)
@@ -1462,7 +1479,8 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     and never shipped (Achlioptas 2003: ±1 entries satisfy the JL lemma with
     the same distortion bounds as Gaussians). This is the dim-reduction
     scale path for the embedding family: at 100 TB, distance computations on
-    the 8-d sketch cost dim/8 of the full-width ones and the sketch rides
+    the JL_DIMS-d (16-d) sketch cost dim/JL_DIMS of the full-width ones and
+    the sketch rides
     any ANN path (IVF coarse assignment, dedup prefilter with full-width
     re-verification — the same candidate-then-verify discipline as
     minhash_lsh_neardup).
@@ -1492,14 +1510,17 @@ _JL_DIM_MEMO: dict = {}
 
 
 def _jl_corpus_dim(spark: SparkSession, sf_dir: str) -> int:
-    """Embedding width from one corpus row, memoized per sf_dir (fixed-width
-    embedding columns are the table contract — vector_norms exposes `dim`)."""
-    if sf_dir not in _JL_DIM_MEMO:
+    """Embedding width from one corpus row, memoized per source staleness
+    token (fixed-width embedding columns are the table contract —
+    vector_norms exposes `dim`; the token keys survive in-process
+    regeneration of the same path)."""
+    key = source_token(sf_dir, "embeddings")
+    if key not in _JL_DIM_MEMO:
         row = (
             table(spark, sf_dir, "embeddings").select(F.size("embedding")).first()
         )
-        _JL_DIM_MEMO[sf_dir] = int(row[0]) if row is not None else 0
-    return _JL_DIM_MEMO[sf_dir]
+        _JL_DIM_MEMO[key] = int(row[0]) if row is not None else 0
+    return _JL_DIM_MEMO[key]
 
 
 def _jl_proj_col(j: int, dim: int) -> F.Column:
@@ -1552,14 +1573,15 @@ _SK_NQ = "sqrt(" + " + ".join(f"q.proj_{j} * q.proj_{j}" for j in range(JL_DIMS)
 )
 def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 for the query vector via the JL sketch: score ALL
-    corpus vectors on the 8-d md5-sign sketch (embedding_jl_projection),
+    corpus vectors on the JL_DIMS-d (16-d) md5-sign sketch
+    (embedding_jl_projection),
     keep the JL_CANDIDATES best sketch-cosines, then re-rank ONLY those
     candidates by exact full-width cosine. Because the sketch is
     deterministic in both engines, the ENTIRE approximate pipeline —
     prefilter, candidate set, re-rank — is value-checked by the oracle,
     unlike the rows-only LSH/IVF paths whose hash internals are
     engine-specific. This is the third ANN scale path: full-width work
-    drops from O(n·dim) to O(n·8 + candidates·dim).
+    drops from O(n·dim) to O(n·JL_DIMS + candidates·dim).
 
     Scale: sketch scoring is a zero-shuffle narrow pass; the top-64 uses
     the package's k-th-value prefilter (TakeOrderedAndProject k-th value →
@@ -1577,8 +1599,11 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # constant-folds the 0/0 sketch cosine at PLAN time (ANSI
         # DIVIDE_BY_ZERO before a single row flows) — return empty early
         return spark.createDataFrame([], "vec_id bigint, label int, cos double")
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId, source_token(sf_dir, "embeddings")
+    )
     if memo_key not in _JL_SCORE_MEMO:
+        evict_dead_app_entries(_JL_SCORE_MEMO, memo_key[0])
         sk = embedding_jl_projection(spark, sf_dir)
         qs = sk.filter(F.col("vec_id") == 0).select(
             *[F.col(f"proj_{j}").alias(f"q_{j}") for j in range(JL_DIMS)]
@@ -1604,6 +1629,7 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("scos").alias("kth"))
     )
     surv = sc.join(broadcast(kth), sc.scos >= kth.kth)
+    # bounded global window: input is the k-th-value survivor set (<= JL_CANDIDATES + ties)
     w = Window.orderBy(F.desc("scos"), "vec_id")
     cand = (
         surv.withColumn("rn", F.row_number().over(w))
@@ -1621,6 +1647,7 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr("embedding", "qv"), 6).alias("cos"),
         )
     )
+    # bounded global window: input is the <= JL_CANDIDATES re-ranked rows
     w2 = Window.orderBy(F.desc("cos"), "vec_id")
     return (
         ex.withColumn("rn", F.row_number().over(w2))

@@ -464,6 +464,7 @@ def top_tokens_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").alias("kth"))
     )
     survivors = counts.join(F.broadcast(kth), counts.n >= kth.kth).select("token", "n")
+    # bounded global window: input is the k-th-value survivor set (<= TOP_TOKENS_K + ties)
     w = Window.orderBy(F.desc("n"), "token")
     return (
         survivors.withColumn("rnk", F.rank().over(w))
@@ -612,6 +613,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = counts.join(F.broadcast(kth), counts["n"] >= kth["kth"]).select(
         "token", "n"
     )
+    # bounded global window: input is the k-th-value survivor set (<= k_max + ties)
     w = Window.orderBy(F.desc("n"), "token")
     ranked = survivors.withColumn("rn", F.row_number().over(w))
     one = ranked.agg(

@@ -314,6 +314,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = rev.join(broadcast(kth), rev.revenue >= kth.kth).select(
         "c_custkey", "c_name", "n_name", "revenue"
     )
+    # bounded global window: input is the k-th-value survivor set (<= 20 + ties)
     w = Window.orderBy(F.desc("revenue"))
     return (
         survivors.withColumn("rnk", F.rank().over(w).cast("long"))

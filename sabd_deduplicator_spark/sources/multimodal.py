@@ -200,11 +200,13 @@ def synthesize_media_blobs(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _be_bytes(col: F.Column, n_hex: int) -> F.Column:
+def _be_bytes(col: F.Column, n_bytes: int) -> F.Column:
     """Integer column → fixed-width big-endian bytes (hex → lpad → unhex);
     the same three calls exist verbatim in DuckDB, which is what makes the
-    planted containers byte-identical across engines."""
-    return F.unhex(F.lpad(F.hex(col), n_hex, "0"))
+    planted containers byte-identical across engines. Width is in BYTES —
+    the same convention as _le_bytes (hex-char widths doubled internally),
+    so the two helpers can't be mixed into a byte-layout bug."""
+    return F.unhex(F.lpad(F.hex(col), 2 * n_bytes, "0"))
 
 
 def synthesize_image_blobs(spark, sf_dir: str) -> DataFrame:
@@ -226,16 +228,16 @@ def synthesize_image_blobs(spark, sf_dir: str) -> DataFrame:
         F.lit(bytes.fromhex("89504E470D0A1A0A")),   # PNG signature
         F.lit(bytes.fromhex("0000000D")),           # IHDR chunk length = 13
         F.lit(b"IHDR"),
-        _be_bytes(w, 8),
-        _be_bytes(h, 8),
+        _be_bytes(w, 4),
+        _be_bytes(h, 4),
         F.lit(bytes.fromhex("0806000000")),         # depth/color/etc
         F.encode("text", "UTF-8"),
     )
     jpeg = F.concat(
         F.lit(bytes.fromhex("FFD8")),               # SOI
         F.lit(bytes.fromhex("FFC0000B08")),         # SOF0, len 11, precision 8
-        _be_bytes(h, 4),
-        _be_bytes(w, 4),
+        _be_bytes(h, 2),
+        _be_bytes(w, 2),
         F.lit(bytes.fromhex("01110000")),           # 1 component stub
         F.encode("text", "UTF-8"),
     )
@@ -409,23 +411,23 @@ def synthesize_video_blobs(spark, sf_dir: str) -> DataFrame:
     duration = F.pmod(F.col("n_chars") * 13, F.lit(100000)).cast("int")
     data_len = F.octet_length(F.encode("text", "UTF-8")).cast("int")
     ftyp = F.concat(
-        _be_bytes(F.lit(16).cast("int"), 8), F.lit(b"ftypisom"),
-        _be_bytes(F.lit(0).cast("int"), 8),
+        _be_bytes(F.lit(16).cast("int"), 4), F.lit(b"ftypisom"),
+        _be_bytes(F.lit(0).cast("int"), 4),
     )
     # mvhd v0 body: version/flags(4) ctime(4) mtime(4) timescale(4)
     # duration(4) + 88 reserved/matrix bytes = 108-byte box
     mvhd = F.concat(
-        _be_bytes(F.lit(108).cast("int"), 8), F.lit(b"mvhd"),
-        _be_bytes(F.lit(0).cast("int"), 8),   # version+flags
-        _be_bytes(F.lit(0).cast("int"), 8),   # ctime
-        _be_bytes(F.lit(0).cast("int"), 8),   # mtime
-        _be_bytes(timescale, 8),
-        _be_bytes(duration, 8),
+        _be_bytes(F.lit(108).cast("int"), 4), F.lit(b"mvhd"),
+        _be_bytes(F.lit(0).cast("int"), 4),   # version+flags
+        _be_bytes(F.lit(0).cast("int"), 4),   # ctime
+        _be_bytes(F.lit(0).cast("int"), 4),   # mtime
+        _be_bytes(timescale, 4),
+        _be_bytes(duration, 4),
         F.lit(b"\x00" * 80),
     )
-    moov = F.concat(_be_bytes(F.lit(116).cast("int"), 8), F.lit(b"moov"), mvhd)
+    moov = F.concat(_be_bytes(F.lit(116).cast("int"), 4), F.lit(b"moov"), mvhd)
     mdat = F.concat(
-        _be_bytes((F.lit(8) + data_len).cast("int"), 8), F.lit(b"mdat"),
+        _be_bytes((F.lit(8) + data_len).cast("int"), 4), F.lit(b"mdat"),
         F.encode("text", "UTF-8"),
     )
     return d.select(

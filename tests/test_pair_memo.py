@@ -60,8 +60,49 @@ def test_clustering_queries_share_one_edge_derivation(spark, sf_dir):
     again = dc.neardup_components(spark, sf_dir)
     # same memo entries, no new derivations
     assert set(dc._PAIRS_MEMO) >= set(before)
-    key = (spark.sparkContext.applicationId, "jaccard", sf_dir)
+    # key = (app, kind, source staleness token) — the token embeds the
+    # documents parquet's path + (mtime, size), so regeneration invalidates
+    from sabd_deduplicator_spark.catalog import source_token
+
+    key = (
+        spark.sparkContext.applicationId,
+        "jaccard",
+        source_token(sf_dir, "documents"),
+    )
     assert key in dc._PAIRS_MEMO
     # and the two builds agree (memo did not change results between calls)
     assert labels.orderBy("doc_id").collect() == again.orderBy("doc_id").collect()
     assert labels.filter(F.col("component_id").isNull()).count() == 0
+
+
+def test_source_token_invalidates_on_regeneration(tmp_path, spark):
+    """Regenerating the parquet at the SAME path must yield a different
+    memo key — the r5 advisory hazard (an in-process empty→non-empty
+    rewrite permanently serving the stale empty derivation)."""
+    import os
+    import time
+
+    from sabd_deduplicator_spark.catalog import source_token
+
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"v1")
+    t1 = source_token(str(tmp_path), "documents")
+    # force a different (mtime, size) even on coarse-mtime filesystems
+    p.write_bytes(b"v2-longer")
+    os.utime(p, (time.time() + 2, time.time() + 2))
+    t2 = source_token(str(tmp_path), "documents")
+    assert t1 != t2
+    assert source_token(str(tmp_path), "embeddings").endswith(":missing")
+
+
+def test_evict_dead_app_entries_drops_other_apps_only():
+    from sabd_deduplicator_spark.catalog import evict_dead_app_entries
+
+    memo = {
+        ("app-live", "a", "t1"): 1,
+        ("app-dead", "a", "t1"): 2,
+        ("app-dead2", "b", "t2"): 3,
+        "non-tuple-key": 4,  # untouched: helper only manages app-keyed tuples
+    }
+    evict_dead_app_entries(memo, "app-live")
+    assert set(memo) == {("app-live", "a", "t1"), "non-tuple-key"}

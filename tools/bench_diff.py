@@ -45,6 +45,21 @@ def host_ratio(old: dict, new: dict) -> tuple[float, str]:
 
 def diff(old: dict, new: dict, threshold: float = 1.3) -> dict:
     ratio, how = host_ratio(old, new)
+    warning = None
+    if how != "canary" and not (0.85 <= ratio <= 1.15):
+        # The fallback estimator ASSUMES any uniform shift is host speed —
+        # which silently normalizes away a genuine uniform regression
+        # (e.g. a session-config change slowing every query equally). A
+        # far-from-1.0 fallback ratio is therefore not trustworthy evidence
+        # either way: demand isolated re-measurement instead of exit 0.
+        warning = (
+            f"fallback host ratio {ratio:.3f} is far from 1.0 with NO canary "
+            "to attribute it to host speed — a uniform code/config "
+            "regression would look exactly like this. Re-pin suspect "
+            "queries isolated (tools/repin_wobble.py) before trusting "
+            "this diff."
+        )
+        print(f"WARNING: {warning}", file=sys.stderr)
     regressed, improved, added, removed = {}, {}, [], []
     for q, t_new in sorted(new["queries"].items()):
         if q not in old["queries"]:
@@ -62,6 +77,7 @@ def diff(old: dict, new: dict, threshold: float = 1.3) -> dict:
     return {
         "host_ratio": round(ratio, 3),
         "host_ratio_source": how,
+        "warning": warning,
         "threshold_x": threshold,
         "regressed": regressed,
         "improved": improved,

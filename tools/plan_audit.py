@@ -32,6 +32,38 @@ SMELLS = (
     "Expand",
 )
 
+# Detected separately from SMELLS (needs Arguments-line inspection, not an
+# operator-name regex): a Window with NO partition spec serializes its input
+# through one task — wrong at 100 TB unless the input is already bounded.
+# Every whitelisted GlobalWindow below sits downstream of the k-th-value
+# prefilter (TakeOrderedAndProject k-th value → broadcast → survivors ≤
+# k + ties), so the single task ranks a handful of rows; the whitelist OWNS
+# the `WindowExec: No Partition Defined` log warning these emit.
+GLOBAL_WINDOW = "GlobalWindow"
+
+
+def _global_windows(plan: str) -> int:
+    """Count Window operators whose Arguments line carries only 2 top-level
+    bracket groups ([functions], [orderSpec]) — i.e. no partition spec.
+    Partitioned windows carry 3 ([functions], [partitionSpec], [orderSpec])."""
+    n = 0
+    # plain Window only: WindowGroupLimit (the rank-pushdown twin) uses a
+    # different Arguments layout ([part], [order], func, k, mode) and always
+    # accompanies a Window op that this count already covers.
+    # Arguments layouts (empty specs are OMITTED, not printed as []):
+    #   [funcs]                   -> no partition, no order  => global
+    #   [funcs], [order w/ ASC|DESC] -> unpartitioned ordered => global
+    #   [funcs], [partition]      -> partitioned, unordered  => fine
+    #   [funcs], [part], [order]  -> partitioned ordered     => fine
+    for m in re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan):
+        groups = m.group(1).split("], [")
+        if len(groups) == 1 or (
+            len(groups) == 2
+            and re.search(r" (ASC|DESC) NULLS", groups[-1])
+        ):
+            n += 1
+    return n
+
 # (query, smell) -> why it is the RIGHT plan there. Every BNLJ below has a
 # one-row (scalar threshold / k-th value) or block-descriptor build side —
 # linear, not quadratic; every Expand is the grouping-set/sliding-window/
@@ -60,6 +92,22 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("events_sliding_2h", "Expand"): "overlapping windows replicate rows by design",
     ("unpivot_part_metrics", "Expand"): "UNPIVOT is the Expand operator",
     ("table_profile_orders", "SortAggregate"): "min/max over STRING columns (lexicographic result wanted)",
+    # --- bounded global windows (the `WindowExec: No Partition Defined`
+    # warning is OWNED here, not ambient): every entry below ranks the
+    # ≤ k + ties SURVIVOR set of the k-th-value prefilter
+    # (TakeOrderedAndProject k-th value → 1-row broadcast → filter), so the
+    # single window task sees a handful of rows, never the corpus ---
+    ("ann_ivf_topk", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
+    ("ann_jl_rerank_topk", GLOBAL_WINDOW): "ranks k-th-value survivors twice (≤ 64 + ties sketch candidates; ≤ 10 + ties rerank)",
+    ("q10_returned_items", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 20 + ties)",
+    ("q3_shipping_priority", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
+    ("similarity_topk_cosine", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
+    ("top_tokens_corpus", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 50 + ties)",
+    ("topk_customers_by_spend", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
+    ("vocab_coverage_curve", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ k_max + ties)",
+    # --- total-order semantics: the OPERATOR is a corpus-wide ranking ---
+    ("ntile_customer_deciles", GLOBAL_WINDOW): "ntile(10) over the whole table IS a total-order op; scale path = range-partitioned rank from sampled quantile boundaries",
+    ("percent_rank_cume_dist", GLOBAL_WINDOW): "percent_rank/cume_dist over the whole table IS a total-order op; same range-partitioned scale path",
 }
 
 
@@ -79,6 +127,9 @@ def audit(spark, sf_dir: str) -> dict[str, dict[str, object]]:
             n = len(re.findall(rf"\(\d+\) {s}\b", plan))
             if n:
                 found[s] = n
+        gw = _global_windows(plan)
+        if gw:
+            found[GLOBAL_WINDOW] = gw
         unexpected = [s for s in found if (name, s) not in EXPECTED]
         if found:
             out[name] = {**found}
