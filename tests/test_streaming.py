@@ -178,3 +178,65 @@ def test_streaming_novelty_reconciles_with_batch_span_dedup(spark, sf_dir):
         assert abs(
             r["novelty_rate"] - round(r["n_novel"] / r["n_spans"], 6)
         ) < 1e-12
+
+
+def test_stream_outer_attribution_deterministic_and_consistent(spark, sf_dir):
+    """The LEFT OUTER drain (streaming_attribution_outer): two drains emit
+    the identical row set (the oracle depends on it), matched rows equal the
+    batch inner join exactly, and every NULL-click row is (a) genuinely
+    unmatched in the batch join and (b) strictly below the final watermark
+    W = min(per-side max event time) — the emission rule the oracle
+    encodes."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.streaming.registered import (
+        streaming_attribution_outer,
+    )
+
+    def drain():
+        rows = streaming_attribution_outer(spark, sf_dir).collect()
+        matched = sorted(
+            (r["purchase_id"], r["click_id"]) for r in rows
+            if r["click_id"] is not None
+        )
+        nulls = sorted(
+            r["purchase_id"] for r in rows if r["click_id"] is None
+        )
+        return matched, nulls
+
+    m1, n1 = drain()
+    m2, n2 = drain()
+    assert (m1, n1) == (m2, n2), "outer drain is not replay-deterministic"
+    assert len(n1) > 0, "no unmatched purchases flushed — watermark stuck"
+
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.to_timestamp("ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase")
+    batch = p.join(
+        c,
+        (p.user_id == F.col("c_user"))
+        & (F.col("c_ts") <= p.ts)
+        & (F.col("c_ts") >= p.ts - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    batch_matched_ids = {
+        r["event_id"] for r in batch.filter(F.col("c_ts").isNotNull())
+        .select("event_id").distinct().collect()
+    }
+    assert set(n1).isdisjoint(batch_matched_ids), (
+        "a NULL-click emission has a real match in the batch join"
+    )
+    w = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("w")
+    ).first()["w"]
+    pts = {
+        r["event_id"]: r["ts"]
+        for r in p.select("event_id", "ts").collect()
+    }
+    assert all(pts[i] < w for i in n1), (
+        "a NULL-click emission sits at/after the final watermark"
+    )
