@@ -306,11 +306,15 @@ SNAPSHOT_MOD = 10  # "yesterday" = doc_id % 10 != 9 (deterministic stand-in)
 @query(
     "corpus_snapshot_diff",
     oracle=(
-        "WITH prev AS (SELECT DISTINCT md5(text) AS hash FROM documents "
-        f"  WHERE doc_id % {SNAPSHOT_MOD} <> {SNAPSHOT_MOD - 1}), "
-        "cur AS (SELECT DISTINCT md5(text) AS hash FROM documents) "
-        "SELECT CASE WHEN p.hash IS NULL THEN 'added' "
-        "            WHEN c.hash IS NULL THEN 'removed' "
+        # presence sentinels, NOT `hash IS NULL`: a NULL text hashes to a
+        # NULL *value* on a present row, which `p.hash IS NULL` would
+        # misread as "no match" (fuzz-parity finding; the Spark side always
+        # used lit(1) sentinels)
+        "WITH prev AS (SELECT DISTINCT md5(text) AS hash, 1 AS p "
+        f"  FROM documents WHERE doc_id % {SNAPSHOT_MOD} <> {SNAPSHOT_MOD - 1}), "
+        "cur AS (SELECT DISTINCT md5(text) AS hash, 1 AS c FROM documents) "
+        "SELECT CASE WHEN p.p IS NULL THEN 'added' "
+        "            WHEN c.c IS NULL THEN 'removed' "
         "            ELSE 'retained' END AS status, "
         "count(*) AS n_hashes "
         "FROM cur c FULL OUTER JOIN prev p ON c.hash = p.hash "

@@ -305,11 +305,29 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block",
         F.coalesce(F.sum("block_sum").over(w_blocks), F.lit(0)).alias("offset"),
     )
-    binned = local.join(broadcast(offsets), ["lang", "block"]).withColumn(
-        "bin_id",
-        F.floor(
-            (F.col("offset") + F.col("local_cum") - F.col("n_tok")) / F.lit(512)
-        ).cast("long"),
+    # NULL-SAFE on lang: a NULL-lang stream is a legitimate partition for
+    # the window phases, but a plain equi-join would silently DROP its rows
+    # here (NULL never equals NULL) — found by the randomized fuzz-parity
+    # sweep, invisible on the fixed corpus whose lang column has no NULLs
+    off = offsets.select(
+        F.col("lang").alias("o_lang"),
+        F.col("block").alias("o_block"),
+        "offset",
+    )
+    binned = (
+        local.join(
+            broadcast(off),
+            F.col("lang").eqNullSafe(F.col("o_lang"))
+            & (F.col("block") == F.col("o_block")),
+        )
+        .drop("o_lang", "o_block")
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("offset") + F.col("local_cum") - F.col("n_tok"))
+                / F.lit(512)
+            ).cast("long"),
+        )
     )
     return binned.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -49,9 +49,12 @@ _BLOBS_CTE = (
         "        unnest(range(0, octet_length(payload))) AS i FROM blobs)), "
         "stats AS (SELECT blob_id, avg(CAST(b AS DOUBLE)) AS mean_byte, "
         "  CAST(max(b) AS INT) AS max_byte FROM bytes GROUP BY blob_id) "
+        # NULL text → NULL payload: the kernel hashes b"" for a NULL
+        # payload (0 bytes, md5 of empty), so the oracle coalesces the
+        # same way (fuzz-parity finding; no NULLs in the fixed corpus)
         "SELECT b.blob_id, b.media_type, "
-        "CAST(octet_length(b.payload) AS BIGINT) AS n_bytes, "
-        "md5(b.text) AS payload_md5, "
+        "CAST(COALESCE(octet_length(b.payload), 0) AS BIGINT) AS n_bytes, "
+        "md5(COALESCE(b.text, '')) AS payload_md5, "
         "COALESCE(s.mean_byte, 0.0) AS mean_byte, "
         "CAST(COALESCE(s.max_byte, 0) AS INT) AS max_byte, "
         "b.meta_width AS width, b.meta_height AS height "

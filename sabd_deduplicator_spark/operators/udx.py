@@ -47,7 +47,13 @@ class _TokenizeUDTF:
     SparkSession, so decorating at import time fails before a session exists."""
 
     def eval(self, text: str):  # noqa: D102 — UDTF contract method
-        for i, tok in enumerate((text or "").split(" ")):
+        # NULL text emits NO rows (string_split(NULL) unnests to nothing in
+        # the oracle); empty string emits one empty token in both engines.
+        # The old `text or ""` coalesced NULL into the empty-string case —
+        # a one-extra-row-per-NULL-doc divergence the fuzz sweep caught.
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
             yield i, tok
 
 
@@ -97,7 +103,10 @@ def _utf8_bytes_udf():
 @query(
     "pandas_scalar_utf8_bytes",
     oracle=(
-        "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS utf8_bytes, "
+        # encode(), not CAST(text AS BLOB): DuckDB's cast demands hex-escaped
+        # non-ASCII and THROWS on real unicode (fuzz-parity finding);
+        # encode() is the UTF-8 byte conversion
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS utf8_bytes, "
         "CAST(length(text) AS BIGINT) AS chars FROM documents"
     ),
 )

@@ -205,8 +205,11 @@ _SESSIONS_SQL = (
     f"        coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL {_SESSION_GAP} SECONDS, FALSE) AS gap_break "
     "        FROM events)), "
     "sessions AS ("
+    # coalesce(value, 0): the stateful kernel folds NULL values as 0.0
+    # (fillna before the running total), so an all-NULL session totals 0.0
+    # there while a bare SQL sum would yield NULL (fuzz-parity finding)
     "  SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
-    "         count(*) AS n_events, " + dsum_sql("value") + " AS total_value, "
+    "         count(*) AS n_events, " + dsum_sql("coalesce(value, 0)") + " AS total_value, "
     "         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY min(ts) DESC) AS rn "
     "  FROM numbered GROUP BY user_id, session_id) "
     # gap-closed sessions only (rn > 1): the in-batch gap rule is purely

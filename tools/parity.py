@@ -38,7 +38,12 @@ def _canon_cell(v):
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            # NaN ≡ NULL: the pandas bridge already conflates them for
+            # float columns on BOTH engines, and DuckDB's .df() renders a
+            # NULL in a BOOLEAN/INTEGER column as float NaN while Spark's
+            # toPandas gives None — treating them differently makes the
+            # comparison asymmetric by dtype, not by value (fuzz finding)
+            return "∅"
         return f"{v:.9g}"
     if isinstance(v, bytes):
         return v.hex()
