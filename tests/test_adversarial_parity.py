@@ -52,6 +52,8 @@ SUBSET = [
     "neardup_method_agreement",  # composes all three near-dup pair pipelines
     "neardup_candidate_cost",  # bucket censuses over all three band structures
     "streaming_novelty_by_batch",  # complete-mode min-fold state over spans
+    "ann_lsh_topk",            # r6: integer-lattice routing + probe order vs SQL
+    "streaming_attribution_outer",  # r6: watermark-flush emission set
 ]
 
 
