@@ -1270,10 +1270,9 @@ _MINHASH_SIG_SQL = (
     + " FROM sh GROUP BY doc_id"
 )
 
-_MINHASH_ORACLE = (
-    "WITH sh AS (" + _SHINGLES_SQL + "), "
-    "sig AS (" + _MINHASH_SIG_SQL + "), "
-    "bands AS (" + _MINHASH_BANDS_SQL + "), "
+# band-join + exact-verify tail over CTEs named `sh` (shingle relation) and
+# `sig`/`bands` — shared by the plain and the df-capped sketch oracles
+_MINHASH_VERIFY_SQL = (
     "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
     "  FROM bands l JOIN bands r ON l.band = r.band AND l.x = r.x "
     "  AND l.y = r.y AND l.doc_id < r.doc_id), "
@@ -1287,6 +1286,25 @@ _MINHASH_ORACLE = (
     "FROM inter JOIN sz sa ON sa.doc_id = doc_a "
     "JOIN sz sb ON sb.doc_id = doc_b "
     "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"
+)
+
+_MINHASH_ORACLE = (
+    "WITH sh AS (" + _SHINGLES_SQL + "), "
+    "sig AS (" + _MINHASH_SIG_SQL + "), "
+    "bands AS (" + _MINHASH_BANDS_SQL + "), "
+    + _MINHASH_VERIFY_SQL
+)
+
+_MINHASH_CAPPED_ORACLE = (
+    "WITH sh0 AS (" + _SHINGLES_SQL + "), "
+    "nd AS (SELECT count(*) AS n_docs FROM documents), "
+    "hot AS (SELECT f.sh FROM (SELECT sh, count(*) AS df FROM sh0 "
+    "  GROUP BY sh) f, nd WHERE f.df * 2 > nd.n_docs), "
+    "sh AS (SELECT s.doc_id, s.sh FROM sh0 s WHERE NOT EXISTS ("
+    "  SELECT 1 FROM hot h WHERE h.sh = s.sh)), "
+    "sig AS (" + _MINHASH_SIG_SQL + "), "
+    "bands AS (" + _MINHASH_BANDS_SQL + "), "
+    + _MINHASH_VERIFY_SQL
 )
 
 
@@ -1379,6 +1397,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is JVM-side; the verify join touches only candidates.
     """
     sh = doc_shingles(spark, sf_dir)  # (doc_id, sh) distinct shingles
+    return _minhash_verified_pairs(sh)
+
+
+def _minhash_verified_pairs(sh: DataFrame) -> DataFrame:
+    """Band join + exact-Jaccard verify over a (doc_id, sh) relation — the
+    shared back half of the plain and df-capped MinHash queries (identical
+    plan to the pre-refactor minhash_lsh_neardup body)."""
     bands = minhash_bands(sh)
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
     r = bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y")
@@ -1404,6 +1429,43 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@query("minhash_lsh_neardup_capped", oracle=_MINHASH_CAPPED_ORACLE)
+def minhash_lsh_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup with UBIQUITY-CAPPED sketch shingles: drop
+    every shingle present in more than half the corpus before sketching
+    AND verifying (boilerplate removal — the r6 scale-curve finding made
+    this variant, not a tuning knob, the production path on hot corpora).
+
+    Why the plain sketch melts under a hot span: one globally-common
+    shingle whose md5 slice happens to be small under some permutation
+    becomes the signature MINIMUM of every document containing it — one
+    band bucket then holds most of the corpus and the candidate join goes
+    quadratic. Measured on the scale-curve corpus (one span = 20% of all
+    span mass): 19.7 GB of candidate shuffle at 187k docs for the plain
+    sketch. A >50%-df shingle carries no near-dup signal (it fails to
+    separate any pair), so dropping it changes candidates, not meaning —
+    Jaccard is then over DISCRIMINATIVE shingles, the better dedup signal.
+
+    Scale shape: the hot set is provably TINY — shingles with df > n/2
+    number at most 2·s where s = average shingles per document (pigeonhole
+    on Σdf ≤ n·s), so the anti-join build side is a bounded broadcast
+    regardless of corpus size; one extra df aggregate is the only added
+    pass, and the candidate join returns to the linear regime the plain
+    query enjoys on boilerplate-free corpora (curve in PERF.md)."""
+    from sabd_deduplicator_spark.catalog import table as _table
+
+    sh0 = doc_shingles(spark, sf_dir)
+    ncnt = _table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    dfrel = sh0.groupBy("sh").agg(F.count("*").alias("df"))
+    hot = dfrel.join(
+        broadcast(ncnt), F.col("df") * 2 > F.col("n_docs")
+    ).select("sh")
+    sh = sh0.join(broadcast(hot), "sh", "left_anti")
+    return _minhash_verified_pairs(sh)
 
 
 def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,7 @@ SUBSET = [
     "streaming_novelty_by_batch",  # complete-mode min-fold state over spans
     "ann_lsh_topk",            # r6: integer-lattice routing + probe order vs SQL
     "streaming_attribution_outer",  # r6: watermark-flush emission set
+    "minhash_lsh_neardup_capped",  # r6: df-capped sketch, same banding shape
 ]
 
 

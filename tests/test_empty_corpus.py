@@ -39,6 +39,7 @@ SUBSET = [
     "window_first_last_frames",
     "set_ops_bag_semantics",
     "minhash_lsh_neardup",
+    "minhash_lsh_neardup_capped",
     "simhash_neardup_pairs",
     "corpus_novelty_curve",
     "vocab_coverage_curve",

@@ -125,6 +125,7 @@ def main() -> None:
     ap.add_argument("--factors", nargs="*", type=int, default=[1, 3, 10])
     ap.add_argument("--base", type=int, default=62_500)
     ap.add_argument("--out", default="/tmp/sabd_scale_curve")
+    ap.add_argument("--queries", nargs="*", default=list(QUERIES))
     args = ap.parse_args()
 
     import tempfile
@@ -155,7 +156,7 @@ def main() -> None:
             t0 = time.time()
             build_corpus(spark, sf_dir, args.base * f)
             print(f"built x{f} ({args.base * f} docs) in {time.time()-t0:.1f}s")
-        for name in QUERIES:
+        for name in args.queries:
             t0 = time.time()
             sb0 = shuffle_write_bytes(spark)
             df = registry.QUERIES[name](spark, sf_dir)
