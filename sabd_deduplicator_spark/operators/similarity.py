@@ -1454,18 +1454,29 @@ def minhash_lsh_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size; one extra df aggregate is the only added
     pass, and the candidate join returns to the linear regime the plain
     query enjoys on boilerplate-free corpora (curve in PERF.md)."""
-    from sabd_deduplicator_spark.catalog import table as _table
-
     sh0 = doc_shingles(spark, sf_dir)
-    ncnt = _table(spark, sf_dir, "documents").agg(
-        F.count("*").alias("n_docs")
-    )
+    # scalar memoized count, not a 1-row broadcast join: the capped shingle
+    # relation feeds 6 plan branches (bands, sizes, two verify sides, ...)
+    # and Catalyst would replicate the count-join into every one (6 BNLJs
+    # in the audited plan); a literal threshold keeps each branch a plain
+    # filter + reusable broadcast-anti-join exchange
+    n_docs = _documents_count(spark, sf_dir)
     dfrel = sh0.groupBy("sh").agg(F.count("*").alias("df"))
-    hot = dfrel.join(
-        broadcast(ncnt), F.col("df") * 2 > F.col("n_docs")
-    ).select("sh")
+    hot = dfrel.filter(F.col("df") * 2 > F.lit(n_docs)).select("sh")
     sh = sh0.join(broadcast(hot), "sh", "left_anti")
     return _minhash_verified_pairs(sh)
+
+
+_DOCS_COUNT_MEMO: dict = {}
+
+
+def _documents_count(spark: SparkSession, sf_dir: str) -> int:
+    """documents row count memoized per source staleness token (same
+    discipline as _embeddings_count)."""
+    key = source_token(sf_dir, "documents")
+    if key not in _DOCS_COUNT_MEMO:
+        _DOCS_COUNT_MEMO[key] = table(spark, sf_dir, "documents").count()
+    return _DOCS_COUNT_MEMO[key]
 
 
 def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
