@@ -106,8 +106,17 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # first-event NULL gap coalesced to -1: a nullable BIGINT reaches
         # pandas as float64+NaN from DuckDB but may stay object/None from
         # Spark — coalescing keeps the column integral in both engines.
+        # Truncate-then-diff on EPOCHS, not date_diff('second', ...):
+        # DuckDB's date_diff truncates the epoch toward ZERO, so PRE-1970
+        # timestamps round the opposite way from calendar (floor)
+        # truncation and the gap comes out one second short (found by the
+        # 'extremes' fuzz corpus); date_trunc floors in both engines.
         "SELECT event_id, user_id, "
-        "CAST(coalesce(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1) AS BIGINT) AS gap_sec "
+        "CAST(coalesce("
+        "  CAST(epoch(date_trunc('second', ts)) AS BIGINT) - "
+        "  CAST(epoch(date_trunc('second', lag(ts) OVER ("
+        "    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT), "
+        "-1) AS BIGINT) AS gap_sec "
         "FROM events"
     ),
 )

@@ -345,7 +345,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.value AS amount "
         "FROM events p JOIN events c ON p.event_type = 'purchase' "
         "AND c.event_type = 'click' AND p.user_id = c.user_id "
-        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR"
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR "
+        # epoch floor on BOTH sides: Spark's global watermark never goes
+        # below 0 ms, so pre-1970 rows are late-dropped regardless of the
+        # span-derived delay (engine boundary; no-op on post-epoch corpora)
+        "AND p.ts >= TIMESTAMP '1970-01-01' "
+        "AND c.ts >= TIMESTAMP '1970-01-01'"
     ),
 )
 def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,8 +401,13 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_attribution_outer",
     oracle=(
-        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
-        "c AS (SELECT * FROM events WHERE event_type = 'click'), "
+        # ev: Spark's global watermark is floored at epoch 0 ms, so
+        # pre-1970 rows are late-dropped on arrival (engine boundary —
+        # see streaming_dedup_watermarked); no-op on post-epoch corpora
+        "WITH ev AS (SELECT * FROM events "
+        "  WHERE ts >= TIMESTAMP '1970-01-01'), "
+        "p AS (SELECT * FROM ev WHERE event_type = 'purchase'), "
+        "c AS (SELECT * FROM ev WHERE event_type = 'click'), "
         # the drain's final watermark: min over the two sides' max event
         # times (each side's withWatermark node only sees its own filtered
         # stream), floored to Spark's millisecond watermark precision; NULL
@@ -411,7 +421,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      max(CASE WHEN event_type = 'click' THEN ts END)), "
         "    date_trunc('milliseconds', "
         "      max(CASE WHEN event_type = 'purchase' THEN ts END))) END AS w "
-        "  FROM events), "
+        "  FROM ev), "
         "m AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
         "    p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, "
         "    p.value AS amount "
@@ -662,7 +672,16 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_dedup_watermarked",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    # ts >= epoch: Spark's GLOBAL watermark is floored at 0 ms, so
+    # pre-1970 event times are behind the watermark from the first batch
+    # and dropped as late no matter how large the delay — an engine
+    # boundary, not an operator choice (measured on the 'extremes' fuzz
+    # corpus: keys with only pre-epoch rows never emit; keys with at
+    # least one post-epoch row do). No-op on post-epoch corpora.
+    oracle=(
+        "SELECT DISTINCT user_id, event_type FROM events "
+        "WHERE ts >= TIMESTAMP '1970-01-01'"
+    ),
 )
 def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark — the

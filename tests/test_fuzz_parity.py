@@ -19,6 +19,7 @@ included) is a few minutes of micro-batch lifecycles.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 
 import pyarrow as pa
@@ -40,6 +41,12 @@ def _money(rng, lo=1.0, hi=9999.0):
     return round(rng.uniform(lo, hi), 2)
 
 
+# unicode category values for the env-gated "unicode_cat" flavor: grouping
+# keys, join keys, and SQL-literal comparisons must survive non-ASCII
+U_LANGS = ["中文", "éñ", "ру", ""]
+U_SOURCES = ["søurce-Ω", "src🌍"]
+
+
 def _text(rng, hot: str | None, flavor: str) -> str | None:
     if flavor == "hostile" and rng.random() < 0.08:
         return None
@@ -55,6 +62,14 @@ def _ts(rng, flavor: str) -> dt.datetime:
     if flavor == "ties":
         # four distinct instants only → every ordering tie-break fires
         return BASE_TS + dt.timedelta(hours=rng.randint(0, 3))
+    if flavor == "extremes":
+        # century-scale spread: date arithmetic, window ranges, watermark
+        # derivations, and strftime all cross year boundaries
+        return dt.datetime(
+            rng.choice([1905, 1969, 2038, 2250]), rng.randint(1, 12),
+            rng.randint(1, 28), rng.randint(0, 23), rng.randint(0, 59),
+            rng.randint(0, 59), rng.randint(0, 999_999),
+        )
     return BASE_TS + dt.timedelta(
         seconds=rng.randint(0, 6 * 3600), microseconds=rng.randint(0, 999_999)
     )
@@ -75,10 +90,14 @@ def build_corpus(out_dir: str, seed: int, flavor: str) -> None:
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(
             [None if (flavor == "hostile" and rng.random() < 0.1)
-             else rng.choice(["en", "de", "zh", ""]) for _ in range(n_docs)],
+             else rng.choice(U_LANGS if flavor == "unicode_cat"
+                             else ["en", "de", "zh", ""])
+             for _ in range(n_docs)],
             pa.string()),
         "source": pa.array(
-            [rng.choice(["src0", "src1"]) for _ in range(n_docs)], pa.string()),
+            [rng.choice(U_SOURCES if flavor == "unicode_cat"
+                        else ["src0", "src1"]) for _ in range(n_docs)],
+            pa.string()),
         "n_chars": pa.array(
             [len(t) if t is not None else None for t in texts], pa.int64()),
     })
@@ -97,7 +116,8 @@ def build_corpus(out_dir: str, seed: int, flavor: str) -> None:
              for _ in range(n_ev)], pa.string()),
         "value": pa.array(
             [None if (flavor == "hostile" and rng.random() < 0.1)
-             else _money(rng, 0.0, 500.0) for _ in range(n_ev)], pa.float64()),
+             else _money(rng, -500.0 if flavor == "extremes" else 0.0, 500.0)
+             for _ in range(n_ev)], pa.float64()),
         "props": pa.array(
             [None if (flavor == "hostile" and rng.random() < 0.2)
              else '{"k": %d}' % rng.randint(0, 99) for _ in range(n_ev)],
@@ -135,7 +155,9 @@ def build_corpus(out_dir: str, seed: int, flavor: str) -> None:
         "c_nationkey": pa.array(
             [rng.randint(0, 4) for _ in range(n_cust)], pa.int32()),
         "c_acctbal": pa.array(
-            [_money(rng, -999.0, 9999.0) if flavor != "ties" else 100.0
+            [100.0 if flavor == "ties"
+             else _money(rng, -99999.0 if flavor == "extremes" else -999.0,
+                         9999.0)
              for _ in range(n_cust)], pa.float64()),
         "c_mktsegment": pa.array(
             [rng.choice(["BUILDING", "MACHINERY"]) for _ in range(n_cust)],
@@ -211,7 +233,21 @@ def build_corpus(out_dir: str, seed: int, flavor: str) -> None:
     })
 
 
+# Per-flavor envelope skips: queries whose DOCUMENTED operating envelope a
+# flavor deliberately violates. The applyInPandasWithState sessionizer
+# merges by gap in ARRIVAL order (bounded-disorder envelope — the built-in
+# session_window drain is the out-of-order-correct twin); the extremes
+# corpus randomly staples century-apart rows into one arrival stream, where
+# the gap-merge outcome is arrival-order-defined and no batch SQL models it.
+ENVELOPE_SKIPS = {
+    "extremes": {"streaming_closed_sessions"},
+}
+
 FLAVORS = [(1, "hostile"), (2, "skew"), (3, "ties")]
+# env-gated extras (SPARK_GRAFT_FUZZ_FULL=1): century-spread timestamps +
+# negative money, and unicode grouping/join keys
+if os.environ.get("SPARK_GRAFT_FUZZ_FULL"):
+    FLAVORS += [(4, "extremes"), (5, "unicode_cat")]
 
 
 @pytest.mark.slow
@@ -227,6 +263,8 @@ def test_full_registry_parity_on_random_corpus(
     con = duck_connect(d)
     failures: list[str] = []
     for name in sorted(oracles):
+        if name in ENVELOPE_SKIPS.get(flavor, ()):
+            continue
         try:
             sdf = qs[name](spark, d).toPandas()
         except Exception as e:  # noqa: BLE001
