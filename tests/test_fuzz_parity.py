@@ -12,7 +12,7 @@ eighths for embedding components) so cross-engine sum-order drift stays
 orders of magnitude below the canonicalizer's 9-significant-digit round —
 disagreements mean semantics, never ulps.
 
-Marked slow: three corpora × the full oracled registry (streaming drains
+Marked slow: five corpora × the full oracled registry (streaming drains
 included) is a few minutes of micro-batch lifecycles.
 """
 
@@ -243,10 +243,12 @@ ENVELOPE_SKIPS = {
     "extremes": {"streaming_closed_sessions"},
 }
 
+# all five flavors run by default — the r6 sweeps each earned their seat by
+# finding real divergences (extremes alone caught a date_diff truncation
+# bug and the epoch-0 watermark floor); SPARK_GRAFT_FUZZ_FAST=1 trims to
+# the original three when iterating
 FLAVORS = [(1, "hostile"), (2, "skew"), (3, "ties")]
-# env-gated extras (SPARK_GRAFT_FUZZ_FULL=1): century-spread timestamps +
-# negative money, and unicode grouping/join keys
-if os.environ.get("SPARK_GRAFT_FUZZ_FULL"):
+if not os.environ.get("SPARK_GRAFT_FUZZ_FAST"):
     FLAVORS += [(4, "extremes"), (5, "unicode_cat")]
 
 
