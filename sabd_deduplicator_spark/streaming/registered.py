@@ -203,7 +203,11 @@ _SESSIONS_SQL = (
     "          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
     "  FROM (SELECT user_id, event_id, ts, value, "
     f"        coalesce(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL {_SESSION_GAP} SECONDS, FALSE) AS gap_break "
-    "        FROM events)), "
+    # epoch floor: the global watermark never goes below 0 ms, so
+    # pre-1970 rows are late-filtered before the stateful operator
+    # (same engine boundary as streaming_dedup_watermarked)
+    "        FROM (SELECT * FROM events "
+    "              WHERE ts >= TIMESTAMP '1970-01-01'))), "
     "sessions AS ("
     # coalesce(value, 0): the stateful kernel folds NULL values as 0.0
     # (fillna before the running total), so an all-NULL session totals 0.0

@@ -233,16 +233,6 @@ def build_corpus(out_dir: str, seed: int, flavor: str) -> None:
     })
 
 
-# Per-flavor envelope skips: queries whose DOCUMENTED operating envelope a
-# flavor deliberately violates. The applyInPandasWithState sessionizer
-# merges by gap in ARRIVAL order (bounded-disorder envelope — the built-in
-# session_window drain is the out-of-order-correct twin); the extremes
-# corpus randomly staples century-apart rows into one arrival stream, where
-# the gap-merge outcome is arrival-order-defined and no batch SQL models it.
-ENVELOPE_SKIPS = {
-    "extremes": {"streaming_closed_sessions"},
-}
-
 # all five flavors run by default — the r6 sweeps each earned their seat by
 # finding real divergences (extremes alone caught a date_diff truncation
 # bug and the epoch-0 watermark floor); SPARK_GRAFT_FUZZ_FAST=1 trims to
@@ -265,8 +255,6 @@ def test_full_registry_parity_on_random_corpus(
     con = duck_connect(d)
     failures: list[str] = []
     for name in sorted(oracles):
-        if name in ENVELOPE_SKIPS.get(flavor, ()):
-            continue
         try:
             sdf = qs[name](spark, d).toPandas()
         except Exception as e:  # noqa: BLE001
