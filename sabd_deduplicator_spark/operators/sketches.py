@@ -1,0 +1,231 @@
+"""Frequency / membership sketches with exact-verification audits.
+
+A dedup engine at 100 TB leans on sketches long before it touches exact
+state: a Bloom filter in front of the hash-lookup index turns "is this chunk
+already stored?" into a broadcast bitmap probe that answers "definitely new"
+for the vast majority of chunks without touching the store (the reference's
+`get_hashed_links` lookup, /root/reference/lib/deduplicator.ex:84-96, is the
+call being guarded); a Count-Min sketch answers "how often does this
+token/chunk repeat?" in D×W integers instead of a full frequency table (the
+distributed analogue of the reference's repetition-stats query,
+/root/reference/lib/deduplicator.ex:120-131).
+
+Both constructions here use md5 slices as the hash family — the package's
+standard shared-randomness coin — so the ENTIRE sketch (routing, counters,
+estimates, false-positive decisions) is exact integer/string arithmetic that
+DuckDB reproduces verbatim: these are fully value-oracled sketch audits, not
+rows-only approximations (same discipline that oracle-ized MinHash and the
+JL/LSH ANN paths).
+
+Like `minhash_estimate_accuracy`, each query carries its own ground truth:
+the sketch answer AND the exact answer are computed side by side, so the
+sketch's error is a measured, oracle-checked number. At 100 TB you run the
+sketch leg only; the audit legs exist to grade it at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.registry import query
+
+# --- Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) -------------------
+
+CMS_D = 4  # hash rows
+CMS_HEX = 3  # bucket key = 3 hex chars → W = 4096 buckets per row
+
+
+def _cms_keyed(exact: DataFrame) -> DataFrame:
+    """(token, n, r, bkt): each distinct token's bucket in every sketch row.
+    Bucket routing is a fixed-width md5-hex slice — a string key both
+    engines derive identically; no integer conversion needed."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}|"), F.col("token"))), 1, CMS_HEX
+                ).alias("bkt"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    return exact.select(
+        "token", "n", F.explode(pairs).alias("p")
+    ).select("token", "n", F.col("p.r").alias("r"), F.col("p.bkt").alias("bkt"))
+
+
+@query(
+    "token_freq_cms_audit",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), "
+        "ex AS (SELECT token, count(*) AS n FROM tok GROUP BY token), "
+        "keyed AS (SELECT token, n, r, "
+        f"substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, {CMS_HEX}) AS bkt "
+        f"FROM ex, (SELECT unnest(range(0, {CMS_D})) AS r)), "
+        "counters AS (SELECT r, bkt, sum(n) AS c FROM keyed GROUP BY r, bkt), "
+        "est AS (SELECT k.token, k.n, min(c.c) AS est FROM keyed k "
+        "JOIN counters c USING (r, bkt) GROUP BY k.token, k.n) "
+        "SELECT count(*) AS n_tokens, CAST(sum(n) AS BIGINT) AS token_mass, "
+        "CAST(sum(CASE WHEN est > n THEN 1 ELSE 0 END) AS BIGINT) AS n_over, "
+        "CAST(max(est - n) AS BIGINT) AS max_over, "
+        "round(avg(est - n), 6) AS mean_over FROM est"
+    ),
+)
+def token_freq_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, graded against exact
+    counts: how many tokens the D×W counter grid over-estimates, by how
+    much at worst, and on average. CMS never under-estimates (est ≥ n is
+    structural: every counter the min ranges over includes the token's own
+    mass), so `n_over`/`max_over` measure pure collision error — the ε·N
+    overshoot the Cormode-Muthukrishnan bound prices at W=1/ε buckets.
+
+    Scale shape: one hash aggregate builds exact counts (at 100 TB you'd
+    skip it — it exists to grade the sketch); the counter grid is ≤ D·W
+    rows and BROADCAST, so sketch estimation is a map-side join over the
+    distinct-token relation. Updating the grid on new data is a map-side
+    partial sum — the sketch is mergeable across partitions/days by
+    construction, which is the whole point at scale."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = tok.groupBy("token").agg(F.count("*").alias("n"))
+    keyed = _cms_keyed(exact)
+    counters = keyed.groupBy("r", "bkt").agg(F.sum("n").alias("c"))
+    est = (
+        keyed.join(F.broadcast(counters), ["r", "bkt"])
+        .groupBy("token", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("n").cast("long").alias("token_mass"),
+        F.sum(F.when(F.col("est") > F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+        F.max(F.col("est") - F.col("n")).cast("long").alias("max_over"),
+        F.round(F.avg(F.col("est") - F.col("n")), 6).alias("mean_over"),
+    )
+
+
+# --- Bloom filter (Bloom, CACM'70) ------------------------------------------
+
+BLOOM_K = 2  # hash probes per key
+BLOOM_HEX = 3  # bit address = 3 hex chars → m = 4096 bits
+
+
+def _bit_keys(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """(key, bit): the BLOOM_K bit addresses of each key."""
+    bits = F.array(
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), F.col(key_col))), 1, BLOOM_HEX
+            )
+            for j in range(BLOOM_K)
+        ]
+    )
+    return df.select(key_col, F.explode(bits).alias("bit"))
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=(
+        "WITH build AS (SELECT DISTINCT md5(text) AS key FROM documents "
+        "  WHERE doc_id % 2 = 0 AND text IS NOT NULL), "
+        "probe AS (SELECT DISTINCT md5(text) AS key FROM documents "
+        "  WHERE doc_id % 2 <> 0 AND text IS NOT NULL), "
+        "bits AS (SELECT DISTINCT "
+        f"substr(md5(CAST(j AS VARCHAR) || '|' || key), 1, {BLOOM_HEX}) AS bit "
+        f"FROM build, (SELECT unnest(range(0, {BLOOM_K})) AS j)), "
+        "pk AS (SELECT key, "
+        f"substr(md5(CAST(j AS VARCHAR) || '|' || key), 1, {BLOOM_HEX}) AS bit "
+        f"FROM probe, (SELECT unnest(range(0, {BLOOM_K})) AS j)), "
+        "hits AS (SELECT key, count(*) AS nb FROM pk "
+        "  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = pk.bit) GROUP BY key), "
+        "flags AS (SELECT p.key, "
+        f"  coalesce(h.nb, 0) = {BLOOM_K} AS bpos, "
+        "  EXISTS (SELECT 1 FROM build b WHERE b.key = p.key) AS isdup "
+        "  FROM probe p LEFT JOIN hits h USING (key)) "
+        "SELECT (SELECT count(*) FROM build) AS n_build, "
+        "count(*) AS n_probe, "
+        "CAST(sum(CASE WHEN bpos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos, "
+        "CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup, "
+        "CAST(sum(CASE WHEN bpos AND NOT isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos, "
+        "round(CAST(sum(CASE WHEN bpos AND NOT isdup THEN 1 ELSE 0 END) AS DOUBLE) "
+        " / nullif(count(*) - sum(CASE WHEN isdup THEN 1 ELSE 0 END), 0), 6) AS fpr "
+        "FROM flags"
+    ),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter, graded exactly: build an m=16^BLOOM_HEX
+    bit filter over half the corpus's content hashes (doc_id parity split),
+    probe the other half, and measure the false-positive rate against the
+    exact semi-join. In the production posture only bloom-POSITIVE keys pay
+    the exact index lookup (the reference's get_hashed_links probe,
+    deduplicator.ex:84-96); everything the filter rejects skips the store
+    entirely, and the measured `fpr` is the fraction of wasted lookups.
+
+    Scale shape: the filter materializes as ≤ m DISTINCT set bit addresses
+    — broadcast to every executor (a real deployment ships the bitmap
+    itself; the relational encoding keeps it oracle-checkable) — so
+    probing is a map-side broadcast join + one count-equals-K aggregate.
+    The exact membership join exists only to grade the filter; n_build /
+    n_probe / fpr let you re-derive the (1 - e^{-kn/m})^k load curve."""
+    docs = table(spark, sf_dir, "documents")
+
+    def half(pred) -> DataFrame:
+        return (
+            docs.filter(pred & F.col("text").isNotNull())
+            .select(F.md5("text").alias("key"))
+            .distinct()
+        )
+
+    build = half(F.col("doc_id") % 2 == 0)
+    probe = half(F.col("doc_id") % 2 != 0)
+    bits = _bit_keys(build).select("bit").distinct()
+    hits = (
+        _bit_keys(probe)
+        .join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("nb"))
+    )
+    flags = (
+        probe.join(hits, "key", "left")
+        .withColumn("bpos", F.coalesce(F.col("nb"), F.lit(0)) == BLOOM_K)
+        .join(build.withColumn("isdup_", F.lit(True)), "key", "left")
+        .withColumn("isdup", F.coalesce(F.col("isdup_"), F.lit(False)))
+    )
+    n_build = build.agg(F.count("*").alias("n_build"))
+    return n_build.crossJoin(
+        flags.agg(
+            F.count("*").alias("n_probe"),
+            F.sum(F.when(F.col("bpos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_pos"),
+            F.sum(F.when(F.col("isdup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_dup"),
+            F.sum(F.when(F.col("bpos") & ~F.col("isdup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.round(
+                F.sum(F.when(F.col("bpos") & ~F.col("isdup"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.nullif(
+                    F.count("*")
+                    - F.sum(F.when(F.col("isdup"), 1).otherwise(0)).cast("long"),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("fpr"),
+        )
+    ).select(
+        F.col("n_build").cast("long").alias("n_build"),
+        "n_probe",
+        "n_bloom_pos",
+        "n_true_dup",
+        "n_false_pos",
+        "fpr",
+    )

@@ -683,3 +683,115 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_lang"),
         )
     )
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+BM25_TERMS = ("hash", "merge", "vector", "stream")
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B75 = "CAST(0.75 AS DOUBLE)"
+BM25_B25 = "CAST(0.25 AS DOUBLE)"  # 1 - b
+BM25_TOPK = 15
+
+
+def _bm25_w(term_i: int, tf: str, dl: str) -> str:
+    """One query term's BM25 weight, as a dialect-agnostic SQL fragment.
+
+    idf is the RATIONAL Robertson form (N - df + 0.5)/(df + 0.5) — the
+    argument of the textbook log, not its value. Dropping the log keeps
+    the whole score inside exact-identical IEEE double trees in Spark and
+    DuckDB (ln() is the one libm call this package never trusts across
+    engines — same discipline as corpus_distinctive_terms); per-term rank
+    order is unchanged (log is monotone), only the inter-term mixing
+    weights differ from textbook BM25, and the census is value-checked
+    either way. Every literal is CAST(.. AS DOUBLE) so neither dialect
+    routes through its own DECIMAL arithmetic."""
+    idf = (
+        f"((CAST(n_docs AS DOUBLE) - df{term_i} + CAST(0.5 AS DOUBLE)) "
+        f"/ (df{term_i} + CAST(0.5 AS DOUBLE)))"
+    )
+    tfpart = (
+        f"(({tf} * CAST(2.2 AS DOUBLE)) / ({tf} + {BM25_K1} * ({BM25_B25} "
+        f"+ {BM25_B75} * (CAST({dl} AS DOUBLE) / (CAST(mass AS DOUBLE) / n_docs)))))"
+    )
+    return f"({idf} * {tfpart})"
+
+
+def _bm25_score(tf_fn, len_fn: str) -> str:
+    """Summed score with a FIXED left-to-right add order in both dialects."""
+    ws = [
+        _bm25_w(i, tf_fn(t), f"{len_fn}(toks)")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    return f"round({' + '.join(ws)}, 6)"
+
+
+_BM25_SPARK_SCORE = _bm25_score(
+    lambda t: f"size(filter(toks, x -> x = '{t}'))", "size"
+)
+_BM25_DUCK_SCORE = _bm25_score(
+    lambda t: f"len(list_filter(toks, x -> x = '{t}'))", "len"
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=(
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents WHERE text IS NOT NULL), "
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS mass, "
+        + ", ".join(
+            f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+            for i, t in enumerate(BM25_TERMS)
+        )
+        + " FROM d), "
+        f"sc AS (SELECT doc_id, {_BM25_DUCK_SCORE} AS score FROM d, st) "
+        "SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT doc_id, score, RANK() OVER (ORDER BY score DESC, doc_id) AS rnk "
+        f" FROM sc) WHERE rnk <= {BM25_TOPK}"
+    ),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked retrieval over the corpus for a fixed query term set —
+    the relevance scoring a training-data pipeline uses for targeted
+    corpus slicing (and the classic IR benchmark op). Corpus statistics
+    (N, total token mass, per-term document frequency) reduce to ONE
+    1-row aggregate that broadcasts onto a per-doc projection; scoring is
+    then embarrassingly parallel, and the global top-k goes through the
+    k-th-value prefilter so no single task ever ranks more than ~K rows.
+    The Spark and DuckDB score expressions are generated from the same
+    template (see _bm25_w) so the IEEE operation tree — and hence every
+    bit of the rounded doubles — is identical by construction."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    st = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("mass"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    sc = d.crossJoin(F.broadcast(st)).select(
+        "doc_id", F.expr(_BM25_SPARK_SCORE).alias("score")
+    )
+    kth = (
+        sc.orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+        .agg(F.min("score").alias("kth"))
+    )
+    survivors = sc.join(F.broadcast(kth), sc.score >= kth.kth).select(
+        "doc_id", "score"
+    )
+    # bounded global window: k-th-value survivor set (<= BM25_TOPK + ties)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        survivors.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
+    )

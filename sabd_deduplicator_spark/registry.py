@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     from sabd_deduplicator_spark.operators import (  # noqa: F401
+        cdc,
         chunker,
         dedup,
         dedup_clusters,
@@ -52,6 +53,7 @@ def load_all_queries() -> None:
         multimodal,
         relational,
         similarity,
+        sketches,
         text,
         timeseries,
         tpch_extra,

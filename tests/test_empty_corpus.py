@@ -52,6 +52,14 @@ SUBSET = [
     "media_feature_extract",
     "events_hourly_gapfill",
     "asof_latest_order_per_event",
+    # r6 additions: CDC chunking, sketch audits, BM25 retrieval
+    "chunk_scan_cdc",
+    "dedup_cdc_vs_fixed",
+    "cdc_encode_roundtrip",
+    "dedup_cdc_encode_stats",
+    "token_freq_cms_audit",
+    "dedup_bloom_prefilter",
+    "text_bm25_topk",
 ]
 
 

@@ -74,6 +74,9 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("ann_jl_rerank_topk", "BroadcastNestedLoopJoin"): "1-row query-sketch / kth-value / query-vector broadcasts",
     ("ann_recall_vs_exact", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("cross_join_region_status", "BroadcastNestedLoopJoin"): "the query IS a cross join (tiny dims)",
+    ("dedup_bloom_prefilter", "BroadcastNestedLoopJoin"): "1-row n_build scalar cross join",
+    ("dedup_cdc_encode_stats", "BroadcastNestedLoopJoin"): "1-row census-scalar cross joins (base stats × distinct stats)",
+    ("dedup_cdc_vs_fixed", "BroadcastNestedLoopJoin"): "1-row census-scalar cross joins (n_chunks × n_distinct × n_shared)",
     ("embedding_int8_quantize", "BroadcastNestedLoopJoin"): "1-row global scale broadcast",
     ("embedding_neardup_pairs", "BroadcastNestedLoopJoin"): "upper-triangular tile grid (block descriptors)",
     ("events_hourly_gapfill", "BroadcastNestedLoopJoin"): "1-row span broadcast building the dense spine",
@@ -83,6 +86,7 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("q22_global_sales_opportunity", "BroadcastNestedLoopJoin"): "1-row avg-balance scalar subquery",
     ("q3_shipping_priority", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("similarity_topk_cosine", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter (per stage)",
+    ("text_bm25_topk", "BroadcastNestedLoopJoin"): "1-row corpus-stats broadcast + 1-row kth-value prefilter",
     ("top_tokens_corpus", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("topk_customers_by_spend", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("vocab_coverage_curve", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
