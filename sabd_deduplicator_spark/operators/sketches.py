@@ -229,3 +229,57 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         "fpr",
     )
+
+
+# --- feature hashing (Weinberger et al., ICML'09) ---------------------------
+
+FH_DIMS = 16  # one dimension per md5 hex nibble
+
+
+@query(
+    "doc_feature_hash_vector",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents) "
+        "SELECT doc_id, "
+        + ", ".join(
+            "CAST(sum(CASE WHEN strpos('0123456789abcdef', "
+            f"substr(md5('fh|' || token), 1, 1)) - 1 = {j} THEN "
+            "(CASE WHEN substr(md5('fs|' || token), 1, 1) < '8' THEN 1 ELSE -1 END) "
+            f"ELSE 0 END) AS BIGINT) AS v{j}"
+            for j in range(FH_DIMS)
+        )
+        + " FROM tok GROUP BY doc_id"
+    ),
+)
+def doc_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: a FH_DIMS-dimensional signed-count vector per
+    document with NO trained model and NO vocabulary table — dimension =
+    first md5 nibble of the token, sign = the package's standard md5 coin.
+    Signed hashing makes collisions cancel in expectation (Weinberger
+    ICML'09), so dot products approximate token-overlap kernels; this is
+    the text→vector path when no embedding model is in the loop, and its
+    output plugs straight into the embedding family's near-dup/kNN
+    operators. All-integer arithmetic end to end — fully value-oracled,
+    unlike any learned embedding.
+
+    Scale shape: explode (codegen) → ONE hash aggregate with FH_DIMS
+    conditional integer sums — map-side partials collapse per doc, no
+    vocabulary join, no model broadcast; the vector table is exactly one
+    narrow row per doc."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dim = F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("token"))), 1, 1), 16, 10).cast("int")
+    sign = F.when(
+        F.substring(F.md5(F.concat(F.lit("fs|"), F.col("token"))), 1, 1) < "8", 1
+    ).otherwise(-1)
+    return tok.select("doc_id", dim.alias("d"), sign.alias("s")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.sum(F.when(F.col("d") == j, F.col("s")).otherwise(0))
+            .cast("long")
+            .alias(f"v{j}")
+            for j in range(FH_DIMS)
+        ]
+    )

@@ -913,3 +913,82 @@ def streaming_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# --- streaming CDC ingest: chunk-store reuse monitor ------------------------
+
+_CDC_BATCHES = 4
+
+
+def _cdc_oracle() -> str:
+    from sabd_deduplicator_spark.operators.cdc import cdc_cte
+
+    return (
+        f"WITH c AS ({cdc_cte()}), "
+        f"ch AS (SELECT CAST(doc_id % {_CDC_BATCHES} AS INT) AS batch, "
+        "  md5(chunk) AS h FROM c), "
+        "firstb AS (SELECT h, CAST(min(batch) AS INT) AS batch FROM ch "
+        "  GROUP BY h), "
+        "novel AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_new "
+        "  FROM firstb GROUP BY batch), "
+        "tot AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_chunks "
+        "  FROM ch GROUP BY batch) "
+        "SELECT t.batch AS batch, t.n_chunks, "
+        "coalesce(n.n_new, 0) AS n_new_chunks, "
+        "round(1.0 - CAST(coalesce(n.n_new, 0) AS DOUBLE) / t.n_chunks, 6) "
+        "  AS reuse_rate "
+        "FROM tot t LEFT JOIN novel n ON n.batch = t.batch"
+    )
+
+
+@query("streaming_cdc_ingest", oracle=_cdc_oracle())
+def streaming_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-on CDC ingestion monitor — the streaming composition of the
+    two r6 additions and the reference's dedup loop: documents arrive as
+    real micro-batches, each is content-defined-chunked by the SAME
+    codegen expression as chunk_scan_cdc (a stateless streaming
+    projection — CDC needs no cross-row state, which is exactly why it
+    streams), and a complete-mode min(batch) state keyed by chunk hash
+    records each chunk's first-ingestion batch. The report is the
+    backup-system dashboard: per batch, chunk mass, chunks stored for the
+    first time, and the chunk-store REUSE rate the content-defined
+    boundaries buy (dedup_cdc_vs_fixed measures the same effect
+    batch-statically).
+
+    Determinism: min(batch) is an order-independent fold (same argument as
+    streaming_novelty_by_batch), so the drained state — and hence the
+    whole report — is fully value-checked against the batch oracle.
+
+    Scale shape: chunking is map-side codegen in the ingest projection;
+    state is one (16-byte hash, int) row per DISTINCT chunk — the chunk
+    store's own key set, nothing bigger; per-batch totals are a batch-side
+    aggregate over the same staged files."""
+    from sabd_deduplicator_spark.operators.cdc import _cdc_chunks_expr
+
+    staged = _stage_by_batch(spark, sf_dir, _CDC_BATCHES)
+    batch_col = (F.col("doc_id") % _CDC_BATCHES).cast("int").alias("batch")
+    chunks_of = lambda df: (  # noqa: E731 - tiny local shape helper
+        df.select(batch_col, F.explode(_cdc_chunks_expr("text")).alias("chunk"))
+        .select("batch", F.md5("chunk").alias("h"))
+    )
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = chunks_of(src).groupBy("h").agg(F.min("batch").alias("batch"))
+    drained = _drain(agg, "complete")
+    novel = drained.groupBy("batch").agg(F.count("*").alias("n_new"))
+    tot = chunks_of(spark.read.parquet(staged)).groupBy("batch").agg(
+        F.count("*").alias("n_chunks")
+    )
+    return tot.join(novel, "batch", "left").select(
+        "batch",
+        "n_chunks",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new_chunks"),
+        F.round(
+            F.lit(1.0)
+            - F.coalesce("n_new", F.lit(0)).cast("double") / F.col("n_chunks"),
+            6,
+        ).alias("reuse_rate"),
+    )

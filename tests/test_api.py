@@ -54,3 +54,31 @@ def test_pipeline_with_sha256(spark):
     rebuilt = reassemble(recover(result.tokens))
     got = {r.file_id: r.text for r in rebuilt.collect()}
     assert got == {1: "abcabcabcabc", 2: "xyzxyzxyzxyz"}
+
+
+def test_full_pipeline_roundtrip_cdc(spark, sf_dir):
+    """Same top-level roundtrip with the content-defined chunker: the
+    hash/encode/recover pipeline is chunker-agnostic (variable chunk
+    lengths, variable chunks-per-doc, auto-sized pointer width)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    result = deduplicate(spark, docs, chunker="cdc", pointer_width=None)
+
+    rec = recover(result.tokens, pointer_width=result.pointer_width)
+    rebuilt = reassemble(rec)
+    orig = docs.select(F.col("doc_id").alias("file_id"), F.col("text").alias("want"))
+    j = orig.join(rebuilt, "file_id")
+    assert j.count() == docs.count()
+    assert j.filter(F.col("text") != F.col("want")).count() == 0  # byte-for-byte
+
+    # catalog marks variable-size chunking
+    f = result.files.first()
+    assert f.bytes == 0 and f.algorithm == "md5"
+
+    # index invariant holds over variable-size chunks too
+    total_chunks = result.chunks.count()
+    assert result.hash_links.agg(F.sum("refs_num")).first()[0] == total_chunks
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown chunker"):
+        deduplicate(spark, docs, chunker="rolling")

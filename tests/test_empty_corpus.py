@@ -60,6 +60,8 @@ SUBSET = [
     "token_freq_cms_audit",
     "dedup_bloom_prefilter",
     "text_bm25_topk",
+    "doc_feature_hash_vector",
+    "streaming_cdc_ingest",
 ]
 
 
