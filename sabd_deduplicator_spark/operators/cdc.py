@@ -431,3 +431,64 @@ def dedup_cdc_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg("cdc", chunk_cdc(docs)).unionByName(
         leg("fixed32", chunk_fixed(docs, size=FIXED_CMP))
     )
+
+
+# --- chunk-length geometry ----------------------------------------------------
+
+HIST_BUCKET = 8  # chars per histogram bucket
+HIST_CAP = 7  # buckets 0..7; lengths > 56 collapse into the cap bucket
+
+
+@query(
+    "cdc_chunk_length_histogram",
+    oracle=(
+        f"WITH c_o AS ({cdc_cte()}), "
+        f"f_o AS ({_fixed_cte('text', FIXED_CMP)}), "
+        "u AS (SELECT 'cdc' AS method, "
+        f"least(CAST(floor((length(chunk) - 1) / {HIST_BUCKET}) AS BIGINT), {HIST_CAP}) AS bucket "
+        "FROM c_o UNION ALL SELECT 'fixed32', "
+        f"least(CAST(floor((length(chunk) - 1) / {HIST_BUCKET}) AS BIGINT), {HIST_CAP}) "
+        "FROM f_o), "
+        "h AS (SELECT method, bucket, CAST(count(*) AS BIGINT) AS n_chunks "
+        "  FROM u GROUP BY method, bucket), "
+        "t AS (SELECT method, CAST(sum(n_chunks) AS BIGINT) AS total FROM h "
+        "  GROUP BY method) "
+        "SELECT h.method AS method, h.bucket AS bucket, h.n_chunks, "
+        "round(CAST(h.n_chunks AS DOUBLE) / t.total, 6) AS pct "
+        "FROM h JOIN t ON t.method = h.method"
+    ),
+)
+def cdc_chunk_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-length geometry per chunker: CDC lengths follow the geometric
+    distribution its cut probability implies (mean 1/P = 32, mass in every
+    bucket), while fixed32 concentrates on exactly 32 plus a short-tail
+    bucket of document remainders. The histogram is the go/no-go check on
+    a CDC parameterization BEFORE re-chunking a 100-TB store: a skewed or
+    truncated length profile means the window/predicate choice is wrong
+    for the data (FastCDC §3.2's normalized-chunking discussion is this
+    diagnostic, productized). One union of codegen chunk scans → one hash
+    aggregate on (method, bucket) → per-method totals broadcast back."""
+    from sabd_deduplicator_spark.operators.chunker import chunk_fixed
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor((F.length("chunk") - 1) / HIST_BUCKET).cast("long"),
+        F.lit(HIST_CAP).cast("long"),
+    )
+    u = (
+        chunk_cdc(docs)
+        .select(F.lit("cdc").alias("method"), bucket.alias("bucket"))
+        .unionByName(
+            chunk_fixed(docs, size=FIXED_CMP).select(
+                F.lit("fixed32").alias("method"), bucket.alias("bucket")
+            )
+        )
+    )
+    h = u.groupBy("method", "bucket").agg(F.count("*").alias("n_chunks"))
+    t = h.groupBy("method").agg(F.sum("n_chunks").cast("long").alias("total"))
+    return h.join(F.broadcast(t), "method").select(
+        "method",
+        "bucket",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.round(F.col("n_chunks").cast("double") / F.col("total"), 6).alias("pct"),
+    )

@@ -283,3 +283,132 @@ def doc_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(FH_DIMS)
         ]
     )
+
+
+# --- Bloom size sweep: FPR vs m from ONE bit-address computation ------------
+
+BLOOM_SWEEP_HEX = (2, 3, 4)  # m = 256 / 4096 / 65536 bits
+
+
+@query(
+    "dedup_bloom_sweep",
+    oracle=(
+        "WITH build AS (SELECT DISTINCT md5(text) AS key FROM documents "
+        "  WHERE doc_id % 2 = 0 AND text IS NOT NULL), "
+        "probe AS (SELECT DISTINCT md5(text) AS key FROM documents "
+        "  WHERE doc_id % 2 <> 0 AND text IS NOT NULL), "
+        "widths AS (SELECT unnest([2, 3, 4]) AS w), "
+        "bb AS (SELECT key, "
+        "  substr(md5(CAST(j AS VARCHAR) || '|' || key), 1, 4) AS bit4 "
+        f"  FROM build, (SELECT unnest(range(0, {BLOOM_K})) AS j)), "
+        "pb AS (SELECT key, j, "
+        "  substr(md5(CAST(j AS VARCHAR) || '|' || key), 1, 4) AS bit4 "
+        f"  FROM probe, (SELECT unnest(range(0, {BLOOM_K})) AS j)), "
+        "bits AS (SELECT w, substr(bit4, 1, CAST(w AS INT)) AS bit "
+        "  FROM bb, widths GROUP BY 1, 2), "
+        "hits AS (SELECT p.w, p.key, count(*) AS nb FROM ("
+        "    SELECT key, j, w, substr(bit4, 1, CAST(w AS INT)) AS bit "
+        "    FROM pb, widths) p "
+        "  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.w = p.w AND b.bit = p.bit) "
+        "  GROUP BY p.w, p.key), "
+        "dup AS (SELECT count(*) AS n_dup FROM probe p "
+        "  WHERE EXISTS (SELECT 1 FROM build b WHERE b.key = p.key)), "
+        "np AS (SELECT count(*) AS n_probe FROM probe) "
+        "SELECT CAST(w AS INT) AS hex_width, "
+        "CAST(power(16, w) AS BIGINT) AS m_bits, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM bits b WHERE b.w = widths.w) AS n_bits_set, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM hits h WHERE h.w = widths.w AND h.nb = {BLOOM_K}) AS n_bloom_pos, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM hits h WHERE h.w = widths.w AND h.nb = {BLOOM_K}) "
+        "  - (SELECT n_dup FROM dup) AS n_false_pos, "
+        f"round(CAST((SELECT count(*) FROM hits h WHERE h.w = widths.w AND h.nb = {BLOOM_K}) "
+        "  - (SELECT n_dup FROM dup) AS DOUBLE) "
+        "  / nullif((SELECT n_probe FROM np) - (SELECT n_dup FROM dup), 0), 6) AS fpr "
+        "FROM widths"
+    ),
+)
+def dedup_bloom_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-sizing curve: the measured false-positive rate of the SAME
+    Bloom construction at m = 256 / 4096 / 65536 bits, from ONE bit-address
+    computation — a w-hex-char bit address is the PREFIX of the 4-hex one,
+    so every sweep point reuses the widest addresses (the nested-prefix
+    trick the ANN probe sweeps use). Every bloom-positive is a true
+    duplicate or a false positive, so n_false_pos = n_bloom_pos - n_dup
+    without classifying individual keys. This is how you size the
+    ingest-prefilter from measurement instead of the (1-e^{-kn/m})^k
+    formula — and the oracle checks the measurement.
+
+    Scale shape: one explode of BLOOM_K×3 prefix rows per distinct key,
+    one distinct per width (bit sets ≤ m rows each, broadcast), one
+    count-equals-K aggregate per width; the exact-dup scalar is a single
+    semi-join count shared by all widths."""
+    docs = table(spark, sf_dir, "documents")
+
+    def half(pred) -> DataFrame:
+        return (
+            docs.filter(pred & F.col("text").isNotNull())
+            .select(F.md5("text").alias("key"))
+            .distinct()
+        )
+
+    build = half(F.col("doc_id") % 2 == 0)
+    probe = half(F.col("doc_id") % 2 != 0)
+
+    def bit4(df: DataFrame) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}|"), F.col("key"))), 1, 4
+                    ).alias("bit4"),
+                )
+                for j in range(BLOOM_K)
+            ]
+        )
+        cols = ["key", F.col("p.j").alias("j"), F.col("p.bit4").alias("bit4")]
+        return df.select("key", F.explode(arr).alias("p")).select(*cols)
+
+    legs = []
+    n_dup = probe.join(build, "key", "left_semi").agg(
+        F.count("*").alias("n_dup")
+    )
+    n_probe = probe.agg(F.count("*").alias("n_probe"))
+    for w in BLOOM_SWEEP_HEX:
+        bits = (
+            bit4(build)
+            .select(F.substring("bit4", 1, w).alias("bit"))
+            .distinct()
+        )
+        pos = (
+            bit4(probe)
+            .select("key", F.substring("bit4", 1, w).alias("bit"))
+            .join(F.broadcast(bits), "bit", "left_semi")
+            .groupBy("key")
+            .agg(F.count("*").alias("nb"))
+            .filter(F.col("nb") == BLOOM_K)
+            .agg(F.count("*").alias("n_bloom_pos"))
+        )
+        legs.append(
+            bits.agg(F.count("*").alias("n_bits_set"))
+            .crossJoin(pos)
+            .crossJoin(n_dup)
+            .crossJoin(n_probe)
+            .select(
+                F.lit(w).cast("int").alias("hex_width"),
+                F.lit(16**w).cast("long").alias("m_bits"),
+                F.col("n_bits_set").cast("long").alias("n_bits_set"),
+                F.col("n_bloom_pos").cast("long").alias("n_bloom_pos"),
+                (F.col("n_bloom_pos") - F.col("n_dup"))
+                .cast("long")
+                .alias("n_false_pos"),
+                F.round(
+                    (F.col("n_bloom_pos") - F.col("n_dup")).cast("double")
+                    / F.nullif(F.col("n_probe") - F.col("n_dup"), F.lit(0)),
+                    6,
+                ).alias("fpr"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -796,3 +796,60 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BM25_TOPK)
         .select("doc_id", "score", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# --- BPE merge-candidate census ----------------------------------------------
+
+BPE_PAIRS_K = 20
+
+
+@query(
+    "bpe_first_merges",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents), "
+        "pairs AS (SELECT unnest(CASE WHEN length(t) < 2 THEN [] "
+        "  ELSE list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2)) END) AS pair "
+        "  FROM tok) "
+        "SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT pair, n, RANK() OVER (ORDER BY n DESC, pair) AS rnk FROM ("
+        "    SELECT pair, count(*) AS n FROM pairs GROUP BY pair)"
+        f") WHERE rnk <= {BPE_PAIRS_K}"
+    ),
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration zero: the top adjacent-symbol-pair counts
+    over the corpus — the exact statistic byte-pair encoding merges first
+    (Sennrich ACL'16). At iteration 0 every symbol is one character, so
+    candidates are the in-token character bigrams; the census is one
+    explode (codegen: per-token 2-char substrings) and ONE hash aggregate,
+    with the same k-th-value-prefilter top-k as top_tokens_corpus. Re-run
+    against a symbolized corpus, the identical shape scores every later
+    merge round — each BPE iteration at 100 TB is exactly this query."""
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(t) < 2 THEN array() "
+                    "ELSE transform(sequence(1, length(t) - 1), "
+                    "i -> substring(t, i, 2)) END"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    kth = (
+        pairs.orderBy(F.desc("n"), "pair")
+        .limit(BPE_PAIRS_K)
+        .agg(F.min("n").alias("kth"))
+    )
+    survivors = pairs.join(F.broadcast(kth), pairs.n >= kth.kth).select("pair", "n")
+    # bounded global window: k-th-value survivor set (<= BPE_PAIRS_K + ties)
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        survivors.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= BPE_PAIRS_K)
+        .select("pair", "n", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -55,6 +55,17 @@ SUBSET = [
     "ann_lsh_topk",            # r6: integer-lattice routing + probe order vs SQL
     "streaming_attribution_outer",  # r6: watermark-flush emission set
     "minhash_lsh_neardup_capped",  # r6: df-capped sketch, same banding shape
+    "chunk_scan_cdc",          # r6: boundary-local window rule, variable chunks
+    "dedup_cdc_vs_fixed",      # r6: distinct/semi-join census over both chunkers
+    "cdc_encode_roundtrip",    # r6: encode∘decode identity over CDC chunks
+    "text_bm25_topk",          # r6: shared-template IEEE score + kth boundary
+    "token_freq_cms_audit",    # r6: min-over-counters vs exact counts
+    "dedup_bloom_prefilter",   # r6: count-equals-K bit probe vs exact semi-join
+    "doc_feature_hash_vector", # r6: 16 conditional signed sums per doc
+    "streaming_cdc_ingest",    # r6: CDC in the ingest projection + min-fold state
+    "dedup_bloom_sweep",       # r6: nested-prefix bit sets at three widths
+    "bpe_first_merges",        # r6: char-pair census + kth boundary
+    "cdc_chunk_length_histogram",  # r6: bucketed length geometry per chunker
 ]
 
 

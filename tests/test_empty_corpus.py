@@ -62,6 +62,9 @@ SUBSET = [
     "text_bm25_topk",
     "doc_feature_hash_vector",
     "streaming_cdc_ingest",
+    "dedup_bloom_sweep",
+    "bpe_first_merges",
+    "cdc_chunk_length_histogram",
 ]
 
 

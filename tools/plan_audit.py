@@ -74,7 +74,9 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("ann_jl_rerank_topk", "BroadcastNestedLoopJoin"): "1-row query-sketch / kth-value / query-vector broadcasts",
     ("ann_recall_vs_exact", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("cross_join_region_status", "BroadcastNestedLoopJoin"): "the query IS a cross join (tiny dims)",
+    ("bpe_first_merges", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
     ("dedup_bloom_prefilter", "BroadcastNestedLoopJoin"): "1-row n_build scalar cross join",
+    ("dedup_bloom_sweep", "BroadcastNestedLoopJoin"): "1-row per-width census-scalar cross joins",
     ("dedup_cdc_encode_stats", "BroadcastNestedLoopJoin"): "1-row census-scalar cross joins (base stats × distinct stats)",
     ("dedup_cdc_vs_fixed", "BroadcastNestedLoopJoin"): "1-row census-scalar cross joins (n_chunks × n_distinct × n_shared)",
     ("embedding_int8_quantize", "BroadcastNestedLoopJoin"): "1-row global scale broadcast",
@@ -106,6 +108,8 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("q10_returned_items", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 20 + ties)",
     ("q3_shipping_priority", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
     ("similarity_topk_cosine", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
+    ("bpe_first_merges", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 20 + ties)",
+    ("text_bm25_topk", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 15 + ties)",
     ("top_tokens_corpus", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 50 + ties)",
     ("topk_customers_by_spend", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
     ("vocab_coverage_curve", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ k_max + ties)",
