@@ -61,6 +61,14 @@ def _cdc_chunks_expr(text_col: str) -> F.Column:
 
     Spark's ``sequence(a, b)`` is DESCENDING when a > b (not empty), so the
     short-doc case must short-circuit explicitly.
+
+    The cut list (the O(len) md5 sweep — the expensive part) is bound ONCE
+    per row via a single-element-array lambda (``transform(array(<cuts>),
+    c -> …)``): the zip_with needs the cut list twice (starts and ends),
+    and textual inlining would run the whole md5 sweep twice per row —
+    measured 2× on chunk-heavy plans. A separate projection column would
+    not survive Catalyst's CollapseProject; the lambda binding is a plain
+    expression-level let.
     """
     t = text_col
     cuts = (
@@ -71,8 +79,9 @@ def _cdc_chunks_expr(text_col: str) -> F.Column:
     )
     return F.expr(
         f"CASE WHEN {t} IS NULL OR length({t}) = 0 THEN array() ELSE "
-        f"zip_with(concat(array(0), {cuts}), concat({cuts}, array(length({t}))), "
-        f"(s, e) -> substring({t}, s + 1, e - s)) END"
+        f"flatten(transform(array({cuts}), "
+        f"c -> zip_with(concat(array(0), c), concat(c, array(length({t}))), "
+        f"(s, e) -> substring({t}, s + 1, e - s)))) END"
     )
 
 
@@ -326,16 +335,22 @@ def cdc_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grammar is chunker-agnostic: any (doc_id, line, chunk) relation
     round-trips. The oracle is simply the CDC chunk relation itself,
     because encode∘decode must be the identity (same oracle shape as
-    roundtrip_recovery_global). Auto-sized widths exercise the
-    required_*_width path on a variable-chunks-per-doc relation."""
+    roundtrip_recovery_global). Fixed overflow-proof widths (vs the
+    auto-sizing the API test exercises) keep this a ZERO-scalar-job plan;
+    the token stream is localCheckpointed before decode — the honest
+    production shape (the encoded artifact IS materialized storage, and
+    decode reads it back) and it stops the decode's literal/pointer
+    branches from re-running the whole chunk+encode tree twice."""
     from sabd_deduplicator_spark.operators.encode import (
         decode_tokens_global,
         encode_chunks_global,
     )
 
     chunks = chunk_cdc(table(spark, sf_dir, "documents"))
-    tokens = encode_chunks_global(chunks, file_width=None, pointer_width=None)
-    return decode_tokens_global(tokens, file_width=None, pointer_width=None)
+    tokens = encode_chunks_global(
+        chunks, file_width=12, pointer_width=9
+    ).localCheckpoint(eager=False)
+    return decode_tokens_global(tokens, file_width=12, pointer_width=9)
 
 
 def _enc_stats_duck(method: str, rel: str) -> str:

@@ -272,6 +272,8 @@ def test_aggregates_stay_hash_based(name, spark, sf_dir):
         ("multi_join_revenue_by_nation", 1),
         ("events_tumbling_1h", 1),
         ("chunk_scan_fixed", 0),
+        ("chunk_scan_cdc", 0),  # CDC boundaries are per-row window hashes
+        ("doc_feature_hash_vector", 1),  # explode + ONE hash aggregate
         ("text_fingerprint", 0),
         ("vector_norms", 0),
         ("q14_promo_revenue", 1),   # part broadcasts; only the final agg shuffles
