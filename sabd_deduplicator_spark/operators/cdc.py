@@ -40,8 +40,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sabd_deduplicator_spark.catalog import table
+from sabd_deduplicator_spark.catalog import spread_if_narrow, table
 from sabd_deduplicator_spark.registry import query
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan fanned to cluster width when the parquet layout is
+    row-starved (catalog.spread_if_narrow). The sf0.1 corpus is ONE row
+    group → every md5-window sweep below would otherwise run on a single
+    core; at 100 TB (thousands of splits) this is a no-op with zero added
+    Exchange. Measured: chunk_scan_cdc 6.0 → ~1 s at sf0.1."""
+    return spread_if_narrow(table(spark, sf_dir, "documents"))
+
 
 CDC_W = 8  # rolling-window width (chars)
 CDC_CUT_HEX = "08"  # cut iff first 2 md5 hex chars < '08' → P = 8/256 = 1/32
@@ -127,7 +137,7 @@ def cdc_cte(text_expr: str = "text", src: str = "documents") -> str:
     oracle=f"SELECT doc_id, line, chunk FROM ({cdc_cte()}) c",
 )
 def chunk_scan_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_cdc(table(spark, sf_dir, "documents"))
+    return chunk_cdc(_docs_spread(spark, sf_dir))
 
 
 def _fixed_cte(text_expr: str, size: int) -> str:
@@ -184,7 +194,7 @@ def dedup_cdc_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte md5 (narrow shuffle rows) → one semi join per method; the
     scalar counts combine via one-row cross joins (no driver-side loop).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     twin = docs.select("doc_id", F.expr(f"{_TWIN}").alias("text"))
 
     def leg(method: str, orig_chunks: DataFrame, twin_chunks: DataFrame) -> DataFrame:
@@ -346,7 +356,7 @@ def cdc_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_chunks_global,
     )
 
-    chunks = chunk_cdc(table(spark, sf_dir, "documents"))
+    chunks = chunk_cdc(_docs_spread(spark, sf_dir))
     tokens = encode_chunks_global(
         chunks, file_width=12, pointer_width=9
     ).localCheckpoint(eager=False)
@@ -402,7 +412,7 @@ def dedup_cdc_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     static corpus but keeps ~90% of chunks reusable across edits."""
     from sabd_deduplicator_spark.operators.chunker import chunk_fixed
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
 
     def leg(method: str, chunks: DataFrame) -> DataFrame:
         base = chunks.agg(
@@ -485,7 +495,7 @@ def cdc_chunk_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on (method, bucket) → per-method totals broadcast back."""
     from sabd_deduplicator_spark.operators.chunker import chunk_fixed
 
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     bucket = F.least(
         F.floor((F.length("chunk") - 1) / HIST_BUCKET).cast("long"),
         F.lit(HIST_CAP).cast("long"),

@@ -845,6 +845,153 @@ def ppl_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ALPHA = 0.5  # add-k smoothing mass per bigram type
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=(
+        "WITH bg AS ("
+        "  SELECT doc_id, lang, unnest(CASE WHEN len(s) < 2 THEN [] "
+        "    ELSE list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1]) END) AS bigram "
+        "  FROM (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents)), "
+        "db AS (SELECT doc_id, lang, bigram, CAST(count(*) AS BIGINT) AS tf "
+        "  FROM bg GROUP BY 1, 2, 3), "
+        "c2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cf2 FROM db GROUP BY bigram), "
+        "c1 AS (SELECT string_split(bigram, ' ')[1] AS ctx, "
+        "  CAST(sum(cf2) AS BIGINT) AS cf1 FROM c2 GROUP BY 1), "
+        "v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS vsz FROM "
+        "  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)) "
+        "SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+        f"round(sum(tf * -ln((cf2 + {BIGRAM_ALPHA}) / (cf1 + {BIGRAM_ALPHA} * vsz))) "
+        "  / sum(tf), 6) AS bigram_cross_entropy "
+        "FROM db JOIN c2 USING (bigram) "
+        "JOIN c1 ON c1.ctx = string_split(bigram, ' ')[1] CROSS JOIN v "
+        "GROUP BY doc_id, lang"
+    ),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed BIGRAM language-model score per document — the
+    sequence-aware step past doc_unigram_logprob's bag-of-words signal and
+    the cheap stand-in for the KenLM-style perplexity filters production
+    corpus builds run (CCNet, Wenzek et al. 2020 trains a 5-gram LM; the
+    estimator family is identical): p(v|u) = (c(uv) + α) / (c(u) + α·V),
+    per-doc cross-entropy in nats over the doc's bigram stream. A scrambled
+    document keeps its unigram score but collapses here — exactly the
+    gibberish mode the unigram signal cannot see. Docs with < 2 tokens have
+    no bigrams and drop out (both engines).
+
+    Plan shape at 100 TB: bigram explode → (doc, bigram, tf) hash aggregate
+    (map-side combine absorbs within-doc repeats), c(uv) = ONE further hash
+    aggregate of those pairs, c(u) = an aggregate of c(uv) — derived from
+    the bigram table, NOT a second corpus scan — then two equi-joins whose
+    build side is the bigram/context vocabulary and one final per-doc
+    aggregate. V is the package's scalar-aggregate convention (a 1-row
+    `.first()` folded in as a literal). Same 6-dp rounding discipline as
+    doc_unigram_logprob (sums of a few hundred doubles agree cross-engine
+    at ~1e-13)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    bigrams = F.expr(
+        "CASE WHEN size(tokens) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(tokens) - 2), "
+        "i -> concat(tokens[i], ' ', tokens[i + 1])) END"
+    )
+    db = (
+        d.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("tf"))
+    )
+    c2 = db.groupBy("bigram").agg(F.sum("tf").alias("cf2"))
+    c1 = (
+        c2.groupBy(F.substring_index("bigram", " ", 1).alias("ctx"))
+        .agg(F.sum("cf2").alias("cf1"))
+    )
+    vrow = (
+        d.select(F.explode("tokens").alias("token"))
+        .agg(F.count_distinct("token").cast("double").alias("v"))
+        .first()
+    )
+    vsz = float(vrow["v"]) if vrow["v"] is not None else 1.0
+    p = (F.col("cf2") + F.lit(BIGRAM_ALPHA)) / (
+        F.col("cf1") + F.lit(BIGRAM_ALPHA * vsz)
+    )
+    return (
+        db.join(c2, "bigram")
+        .withColumn("ctx", F.substring_index("bigram", " ", 1))
+        .join(c1, "ctx")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * -F.log(p)) / F.sum("tf"), 6).alias(
+                "bigram_cross_entropy"
+            ),
+        )
+    )
+
+
+@query(
+    "source_unigram_kl",
+    oracle=(
+        "WITH st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM "
+        "  (SELECT source, unnest(string_split(text, ' ')) AS token "
+        "   FROM documents) GROUP BY 1, 2), "
+        "stot AS (SELECT source, CAST(sum(tf) AS DOUBLE) AS stot FROM st "
+        "  GROUP BY source), "
+        "g AS (SELECT token, CAST(sum(tf) AS BIGINT) AS gf FROM st GROUP BY token), "
+        "gtot AS (SELECT CAST(sum(gf) AS DOUBLE) AS gtot FROM g) "
+        "SELECT source, CAST(stot AS BIGINT) AS n_tok, "
+        "round(sum((tf / stot) * ln((tf / stot) / (gf / gtot))), 6) AS kl_nats, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_tokens "
+        "FROM st JOIN g USING (token) JOIN stot USING (source) CROSS JOIN gtot "
+        "GROUP BY source, stot"
+    ),
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit per corpus source: KL(source ‖ corpus) over
+    unigram token distributions, in nats — the mixture-weighting signal a
+    pre-training build reads before setting per-source sampling rates (a
+    source whose KL spikes is either a different domain or broken
+    extraction; both change its weight). KL(p‖q) = Σ p ln(p/q) with p the
+    source's ML unigram distribution and q the corpus's; no smoothing term
+    is needed because every source token is by construction in the corpus
+    vocabulary (q > 0 wherever p > 0).
+
+    Plan shape: ONE (source, token) hash aggregate of the token explode —
+    map-side combine collapses token mass before the shuffle — then
+    everything downstream (per-source totals, global vocab, the KL sum)
+    re-aggregates that already-tiny relation; the corpus-total scalar is
+    the package's `.first()` convention. At 100 TB the (source, token)
+    relation is n_sources × vocab — a few GB — so the whole audit after
+    the first aggregate is effectively free."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    st = (
+        d.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    stot = st.groupBy("source").agg(F.sum("tf").cast("double").alias("stot"))
+    g = st.groupBy("token").agg(F.sum("tf").alias("gf"))
+    gtot_row = g.agg(F.sum("gf").cast("double").alias("gtot")).first()
+    gtot = float(gtot_row["gtot"]) if gtot_row["gtot"] is not None else 1.0
+    ps = F.col("tf") / F.col("stot")
+    pg = F.col("gf") / F.lit(gtot)
+    return (
+        st.join(g, "token")
+        .join(broadcast(stot), "source")
+        .groupBy("source", "stot")
+        .agg(
+            F.round(F.sum(ps * F.log(ps / pg)), 6).alias("kl_nats"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+        .select(
+            "source",
+            F.col("stot").cast("long").alias("n_tok"),
+            "kl_nats",
+            "n_distinct_tokens",
+        )
+    )
+
+
 @query(
     "split_leakage_report",
     oracle=(

@@ -352,11 +352,13 @@ _SHINGLES_SQL = (
 )
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): distinct bigram shingles per document. The scan is
-    spread_if_narrow'd: the explode is ~50× row amplification followed by
-    per-shingle digests, which must not run at single-split parallelism
-    (see catalog.spread_if_narrow — no-op on a real multi-split corpus)."""
+def doc_shingles(spark: SparkSession, sf_dir: str, key: str = "doc_id") -> DataFrame:
+    """(key, sh): per-document-distinct bigram shingles, keyed by ``key``
+    (doc_id by default; source_minhash_agreement passes ``source`` to build
+    stratum-level shingle relations). The scan is spread_if_narrow'd: the
+    explode is ~50× row amplification followed by per-shingle digests,
+    which must not run at single-split parallelism (see
+    catalog.spread_if_narrow — no-op on a real multi-split corpus)."""
     from sabd_deduplicator_spark.catalog import spread_if_narrow
 
     d = spread_if_narrow(table(spark, sf_dir, "documents")).withColumn(
@@ -366,7 +368,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_distinct(CASE WHEN size(s) < 2 THEN array() "
         "ELSE transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1])) END)"
     )
-    return d.select("doc_id", F.explode(sh).alias("sh"))
+    return d.select(key, F.explode(sh).alias("sh"))
 
 
 # --- 2a. benchmark contamination (decontamination for training data) --------
@@ -1308,11 +1310,12 @@ _MINHASH_CAPPED_ORACLE = (
 )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, h0..h{k-1}) md5-slice MinHash signatures from a (doc_id, sh)
+def minhash_signatures(sh: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, h0..h{k-1}) md5-slice MinHash signatures from a (key, sh)
     shingle relation: ONE hash aggregate computes all k minima with map-side
     partials (the skew defense — a viral doc's shingles collapse before the
-    shuffle).
+    shuffle). ``key`` defaults to doc_id; source_minhash_agreement passes
+    ``source`` to sketch whole corpus strata with the same permutations.
 
     Each 8-hex-char slice is converted to its numeric value (conv base
     16→10, fits a long: max ffffffff) BEFORE the min: fixed-width lowercase
@@ -1322,7 +1325,7 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     SortAggregate; plan-gated in tests/test_plans.py), and the band join
     keys shrink to 8 bytes. The DuckDB oracles keep the string min — the
     isomorphism is exactly why both dialects still agree."""
-    return sh.groupBy("doc_id").agg(
+    return sh.groupBy(key).agg(
         *[
             F.min(
                 F.conv(
@@ -1609,6 +1612,115 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est", 6).alias("est_jaccard"),
         F.round("jac", 6).alias("jaccard"),
         F.round(F.abs(F.col("est") - F.col("jac")), 6).alias("abs_err"),
+    )
+
+
+# --- 4b. source-level merged sketches (the mergeability story) ---------------
+
+_SRC_SHINGLES_SQL = (
+    "SELECT DISTINCT source, sh FROM ("
+    "SELECT source, unnest(list_distinct(CASE WHEN len(s) < 2 THEN [] "
+    "ELSE list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1]) END)) AS sh "
+    "FROM (SELECT source, string_split(text, ' ') AS s FROM documents))"
+)
+
+_SRC_SIG_SQL = (
+    "SELECT source, "
+    + ", ".join(
+        f"min({_minhash_slice_sql(k)}) AS h{k}" for k in range(MINHASH_PERMS)
+    )
+    + " FROM sh GROUP BY source"
+)
+
+_SRC_EST_SQL = " + ".join(
+    f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(MINHASH_PERMS)
+)
+
+
+@query(
+    "source_minhash_agreement",
+    oracle=(
+        "WITH sh AS (" + _SRC_SHINGLES_SQL + "), "
+        "sig AS (" + _SRC_SIG_SQL + "), "
+        "sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source), "
+        "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "  CAST(count(*) AS BIGINT) AS i FROM sh a "
+        "  JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) "
+        f"SELECT source_a, source_b, round(({_SRC_EST_SQL}) / {MINHASH_PERMS}.0, 6) "
+        "  AS est_jaccard, "
+        "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS exact_jaccard, "
+        f"round(abs(({_SRC_EST_SQL}) / {MINHASH_PERMS}.0 "
+        "  - CAST(i AS DOUBLE) / (sa.n + sb.n - i)), 6) AS abs_err "
+        "FROM inter JOIN sz sa ON sa.source = inter.source_a "
+        "JOIN sz sb ON sb.source = inter.source_b "
+        "JOIN sig a ON a.source = inter.source_a "
+        "JOIN sig b ON b.source = inter.source_b"
+    ),
+)
+def source_minhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap via MERGED MinHash sketches: one k=8 signature
+    per corpus SOURCE (min over the source's whole shingle set), estimated
+    pairwise Jaccard = signature-agreement fraction, next to the exact
+    source-level shingle Jaccard and the absolute error.
+
+    This is the operator that proves WHY sketches run a 100-TB dedup
+    planner: min() is associative and commutative, so a stratum's signature
+    is the elementwise min of its documents' signatures — per-doc sketches
+    computed once (map-side, while scanning) merge upward to any grouping
+    (source, crawl snapshot, shard) without ever rescanning text, and the
+    cross-strata overlap matrix (which sources are worth deduping against
+    each other, which are disjoint) costs n_sources² signature compares of
+    8 longs each instead of n_sources² shingle-set intersections.
+    tests/test_sketches.py pins the merge identity (min-of-doc-sigs ==
+    direct-from-shingles) exactly. The EXACT leg here is the audit grader:
+    it fans out at distinct (source, sh) — bounded by n_sources × vocab,
+    the source_span_overlap argument — and would be the first thing dropped
+    at scale once the estimate's error is pinned. Same md5-slice
+    permutations as minhash_lsh_neardup (Broder '97 resemblance sketches;
+    reference anchor: the hash registry of lib/deduplicator.ex:84-119)."""
+    src_sh = doc_shingles(spark, sf_dir, key="source").distinct()
+    sig = minhash_signatures(src_sh, key="source")
+    sz = src_sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = src_sh.select(F.col("source").alias("source_a"), "sh")
+    b = src_sh.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sig_a = sig.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(MINHASH_PERMS)],
+    )
+    sig_b = sig.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(MINHASH_PERMS)],
+    )
+    agree = sum(
+        F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
+        for k in range(MINHASH_PERMS)
+    )
+    est = agree / float(MINHASH_PERMS)
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(
+            broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .join(broadcast(sig_a), "source_a")
+        .join(broadcast(sig_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
     )
 
 

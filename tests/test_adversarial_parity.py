@@ -66,6 +66,9 @@ SUBSET = [
     "dedup_bloom_sweep",       # r6: nested-prefix bit sets at three widths
     "bpe_first_merges",        # r6: char-pair census + kth boundary
     "cdc_chunk_length_histogram",  # r6: bucketed length geometry per chunker
+    "source_minhash_agreement",  # r6: merged stratum sketches, est vs exact
+    "doc_bigram_logprob",      # r6: smoothed bigram LM, double-sum rounding
+    "source_unigram_kl",       # r6: KL over source/corpus distributions
 ]
 
 

@@ -65,6 +65,10 @@ SUBSET = [
     "dedup_bloom_sweep",
     "bpe_first_merges",
     "cdc_chunk_length_histogram",
+    # r6 late additions: stratum sketches + LM scoring
+    "source_minhash_agreement",
+    "doc_bigram_logprob",
+    "source_unigram_kl",
 ]
 
 

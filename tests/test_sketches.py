@@ -69,3 +69,32 @@ def test_bloom_membership_exact_on_inserted_keys(spark):
         .count()
     )
     assert nb == 0
+
+
+def test_minhash_source_sigs_merge_exactly(spark, sf_dir):
+    """The mergeability identity source_minhash_agreement's docstring
+    claims: a stratum's MinHash signature == the elementwise min of its
+    documents' signatures (min is associative/commutative), so per-doc
+    sketches computed map-side merge upward to ANY grouping without
+    rescanning text."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.similarity import (
+        MINHASH_PERMS,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    src_of = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_doc = minhash_signatures(doc_shingles(spark, sf_dir))
+    merged = (
+        per_doc.join(src_of, "doc_id")
+        .groupBy("source")
+        .agg(*[F.min(f"h{k}").alias(f"h{k}") for k in range(MINHASH_PERMS)])
+    )
+    direct = minhash_signatures(
+        doc_shingles(spark, sf_dir, key="source").distinct(), key="source"
+    )
+    # exact frame equality: anti-joins empty in both directions
+    cols = ["source", *[f"h{k}" for k in range(MINHASH_PERMS)]]
+    assert merged.select(cols).exceptAll(direct.select(cols)).count() == 0
+    assert direct.select(cols).exceptAll(merged.select(cols)).count() == 0
