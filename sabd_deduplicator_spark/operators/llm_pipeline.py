@@ -216,6 +216,146 @@ def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_survivorship(d).select("doc_id", "n_spans", "n_kept", "kept_text")
 
 
+SUBSTR_W = 32  # exact-substring window width (chars)
+
+_SUBSTR_WINDOWS_SQL = (
+    f"SELECT doc_id, md5(substring(text, CAST(i AS INT), {SUBSTR_W})) AS h "
+    f"FROM (SELECT doc_id, text, "
+    f"unnest(range(1, length(text) - {SUBSTR_W} + 2)) AS i "
+    f"FROM documents WHERE text IS NOT NULL AND length(text) >= {SUBSTR_W})"
+)
+
+
+def _stride1_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): md5 of EVERY stride-1 SUBSTR_W-char window of every
+    document — the exact-substring dedup relation. Stride 1 is what makes
+    the detector EXACT: a repeated substring of length ≥ W exists in the
+    corpus iff some stride-1 window hash repeats (any wider stride can
+    straddle the alignment and miss). spread_if_narrow for the same
+    single-row-group reason as the CDC sweeps."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    d = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull() & (F.length("text") >= SUBSTR_W)
+    )
+    wins = F.expr(
+        f"transform(sequence(1, length(text) - {SUBSTR_W} + 1), "
+        f"i -> md5(substring(text, i, {SUBSTR_W})))"
+    )
+    return d.select("doc_id", F.explode(wins).alias("h"))
+
+
+@query(
+    "repeated_substring_census",
+    oracle=(
+        "WITH w AS (" + _SUBSTR_WINDOWS_SQL + "), "
+        "df AS (SELECT h, CAST(count(*) AS BIGINT) AS occ, "
+        "  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM w GROUP BY h) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_distinct_windows, "
+        "CAST(sum(occ) AS BIGINT) AS n_positions, "
+        "CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_repeated_windows, "
+        "CAST(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS BIGINT) "
+        "  AS repeated_mass, "
+        "round(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) "
+        "  / CAST(sum(occ) AS DOUBLE), 6) AS repeated_pct, "
+        "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_crossdoc_windows "
+        "FROM df"
+    ),
+)
+def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-substring census — the ExactSubstr signal of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    expressed relationally: how much of the corpus's character mass sits
+    inside a ≥W-char substring that occurs elsewhere (same doc or another).
+    Lee et al. build a suffix array to FIND the duplicate spans in
+    O(n log n); this census answers the upstream go/no-go question (is
+    there enough exact-substring duplication to justify that pass?) with
+    one hash aggregate over the stride-1 window relation — W× character
+    amplification, but hashes only (16 bytes/position), embarrassingly
+    parallel, and shuffled exactly once on the window hash: the
+    dedup_hash_links shape at character granularity. Distinguishes
+    within-doc repeats (n_repeated_windows) from cross-doc plagiarism
+    (n_crossdoc_windows) — the former is Gopher-filter territory, the
+    latter is dedup territory. Reference anchor: the chunk-hash refcount
+    rule (lib/deduplicator.ex:84-119) at every alignment instead of fixed
+    boundaries."""
+    w = _stride1_windows(spark, sf_dir)
+    df_rel = w.groupBy("h").agg(
+        F.count("*").alias("occ"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    rep_occ = F.sum(F.when(F.col("occ") >= 2, F.col("occ")).otherwise(0))
+    return df_rel.agg(
+        F.count("*").alias("n_distinct_windows"),
+        F.sum("occ").alias("n_positions"),
+        F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0)).alias(
+            "n_repeated_windows"
+        ),
+        rep_occ.alias("repeated_mass"),
+        F.round(rep_occ / F.sum("occ").cast("double"), 6).alias("repeated_pct"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+            "n_crossdoc_windows"
+        ),
+    )
+
+
+SUBSTR_FLAG_MIN = 0.5  # flag docs with ≥50% of positions in repeated windows
+
+
+@query(
+    "doc_repeated_substring_flags",
+    oracle=(
+        "WITH w AS (" + _SUBSTR_WINDOWS_SQL + "), "
+        "hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos, "
+        "CAST(count(*) FILTER (WHERE h IN (SELECT h FROM hot)) AS BIGINT) "
+        "  AS n_rep, "
+        "round(count(*) FILTER (WHERE h IN (SELECT h FROM hot)) "
+        "  / CAST(count(*) AS DOUBLE), 6) AS rep_ratio "
+        "FROM w GROUP BY doc_id "
+        "HAVING count(*) FILTER (WHERE h IN (SELECT h FROM hot)) "
+        f"  / CAST(count(*) AS DOUBLE) >= {SUBSTR_FLAG_MIN}"
+    ),
+)
+def doc_repeated_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level exact-substring dup filter: flag documents where ≥
+    SUBSTR_FLAG_MIN of stride-1 window positions belong to a corpus-repeated
+    window — the doc-granularity action derived from
+    repeated_substring_census (drop/trim candidates; RefinedWeb drops, Lee
+    et al. cut the spans). Two hash aggregates over the window relation plus
+    one semi-join against the repeated-window set; the semi-join build side
+    is only the REPEATED hashes (census says ~5% of distinct windows here),
+    hash-partitioned, never broadcast-forced — at 100 TB it is the same
+    bill as the span-dedup first-occurrence join."""
+    w = _stride1_windows(spark, sf_dir)
+    hot = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    per = w.groupBy("doc_id").agg(F.count("*").alias("n_pos"))
+    rep = (
+        w.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_rep"))
+    )
+    ratio = F.col("n_rep").cast("double") / F.col("n_pos")
+    return (
+        per.join(rep, "doc_id", "left")
+        .withColumn("n_rep", F.coalesce("n_rep", F.lit(0)))
+        .filter(ratio >= SUBSTR_FLAG_MIN)
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_rep",
+            F.round(ratio, 6).alias("rep_ratio"),
+        )
+    )
+
+
 @query(
     "corpus_train_split",
     oracle=(

@@ -69,6 +69,8 @@ SUBSET = [
     "source_minhash_agreement",  # r6: merged stratum sketches, est vs exact
     "doc_bigram_logprob",      # r6: smoothed bigram LM, double-sum rounding
     "source_unigram_kl",       # r6: KL over source/corpus distributions
+    "repeated_substring_census",  # r6: stride-1 window census, NULL-fold scalars
+    "doc_repeated_substring_flags",  # r6: hot-window semi-join + ratio gate
 ]
 
 

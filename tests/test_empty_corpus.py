@@ -65,10 +65,12 @@ SUBSET = [
     "dedup_bloom_sweep",
     "bpe_first_merges",
     "cdc_chunk_length_histogram",
-    # r6 late additions: stratum sketches + LM scoring
+    # r6 late additions: stratum sketches + LM scoring + exact substrings
     "source_minhash_agreement",
     "doc_bigram_logprob",
     "source_unigram_kl",
+    "repeated_substring_census",
+    "doc_repeated_substring_flags",
 ]
 
 
