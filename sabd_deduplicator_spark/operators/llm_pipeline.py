@@ -219,7 +219,8 @@ def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_W = 32  # exact-substring window width (chars)
 
 _SUBSTR_WINDOWS_SQL = (
-    f"SELECT doc_id, md5(substring(text, CAST(i AS INT), {SUBSTR_W})) AS h "
+    f"SELECT doc_id, CAST(i AS BIGINT) AS i, "
+    f"md5(substring(text, CAST(i AS INT), {SUBSTR_W})) AS h "
     f"FROM (SELECT doc_id, text, "
     f"unnest(range(1, length(text) - {SUBSTR_W} + 2)) AS i "
     f"FROM documents WHERE text IS NOT NULL AND length(text) >= {SUBSTR_W})"
@@ -227,12 +228,14 @@ _SUBSTR_WINDOWS_SQL = (
 
 
 def _stride1_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): md5 of EVERY stride-1 SUBSTR_W-char window of every
-    document — the exact-substring dedup relation. Stride 1 is what makes
-    the detector EXACT: a repeated substring of length ≥ W exists in the
-    corpus iff some stride-1 window hash repeats (any wider stride can
-    straddle the alignment and miss). spread_if_narrow for the same
-    single-row-group reason as the CDC sweeps."""
+    """(doc_id, i, h): md5 of EVERY stride-1 SUBSTR_W-char window of every
+    document, with its 1-based char position — the exact-substring dedup
+    relation. Stride 1 is what makes the detector EXACT: a repeated
+    substring of length ≥ W exists in the corpus iff some stride-1 window
+    hash repeats (any wider stride can straddle the alignment and miss).
+    Callers that only need hashes let Catalyst prune ``i``.
+    spread_if_narrow for the same single-row-group reason as the CDC
+    sweeps."""
     from sabd_deduplicator_spark.catalog import spread_if_narrow
 
     d = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
@@ -242,7 +245,9 @@ def _stride1_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, length(text) - {SUBSTR_W} + 1), "
         f"i -> md5(substring(text, i, {SUBSTR_W})))"
     )
-    return d.select("doc_id", F.explode(wins).alias("h"))
+    return d.select(
+        "doc_id", F.posexplode(wins).alias("i0", "h")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "h")
 
 
 @query(
@@ -353,6 +358,70 @@ def doc_repeated_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rep",
             F.round(ratio, 6).alias("rep_ratio"),
         )
+    )
+
+
+@query(
+    "repeated_span_extract",
+    oracle=(
+        "WITH w AS (" + _SUBSTR_WINDOWS_SQL + "), "
+        "hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2), "
+        "rp AS (SELECT doc_id, i FROM w WHERE h IN (SELECT h FROM hot)), "
+        "isl AS (SELECT doc_id, i, "
+        f"  sum(CASE WHEN prev_i IS NULL OR i - prev_i > {SUBSTR_W} "
+        "    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i "
+        "    ROWS UNBOUNDED PRECEDING) AS island "
+        "  FROM (SELECT doc_id, i, lag(i) OVER ("
+        "    PARTITION BY doc_id ORDER BY i) AS prev_i FROM rp)) "
+        "SELECT doc_id, CAST(island AS BIGINT) AS span_id, "
+        "min(i) AS span_start, "
+        f"max(i) + {SUBSTR_W} - 1 AS span_end, "
+        f"max(i) - min(i) + {SUBSTR_W} AS span_len "
+        "FROM isl GROUP BY doc_id, island"
+    ),
+)
+def repeated_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL repeated character spans per document — the actual CUT
+    operation of ExactSubstr dedup (Lee et al. 2022 remove these spans from
+    training data; repeated_substring_census is the go/no-go,
+    doc_repeated_substring_flags the doc-level action, this the span-level
+    one). A repeated stride-1 window at position i certifies chars
+    [i, i+W-1] as duplicated text; overlapping/adjacent certified
+    intervals merge into maximal spans by the classic gaps-and-islands
+    reduction: per doc, a new island starts where the position gap exceeds
+    W, island id = running count of starts, span bounds = min/max position
+    per island. Everything after the repeated-position filter is windowed
+    per doc_id (partitioned — never a global window) over only the
+    REPEATED positions (~9% of mass here), then one hash aggregate.
+    Island ids are deterministic: they depend only on the per-doc position
+    order, identical in both engines."""
+    w = _stride1_windows(spark, sf_dir)
+    hot = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    rp = w.join(hot, "h", "left_semi").select("doc_id", "i")
+    ord_w = Window.partitionBy("doc_id").orderBy("i")
+    pre = rp.withColumn("prev_i", F.lag("i").over(ord_w))
+    is_start = F.when(
+        F.col("prev_i").isNull() | (F.col("i") - F.col("prev_i") > SUBSTR_W), 1
+    ).otherwise(0)
+    isl = pre.withColumn(
+        "island",
+        F.sum(is_start).over(ord_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + SUBSTR_W - 1).alias("span_end"),
+        (F.max("i") - F.min("i") + SUBSTR_W).alias("span_len"),
+    ).select(
+        "doc_id",
+        F.col("island").cast("long").alias("span_id"),
+        "span_start",
+        "span_end",
+        "span_len",
     )
 
 

@@ -71,6 +71,7 @@ SUBSET = [
     "source_unigram_kl",       # r6: KL over source/corpus distributions
     "repeated_substring_census",  # r6: stride-1 window census, NULL-fold scalars
     "doc_repeated_substring_flags",  # r6: hot-window semi-join + ratio gate
+    "repeated_span_extract",   # r6: gaps-and-islands over repeated positions
 ]
 
 

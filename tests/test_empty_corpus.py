@@ -71,6 +71,7 @@ SUBSET = [
     "source_unigram_kl",
     "repeated_substring_census",
     "doc_repeated_substring_flags",
+    "repeated_span_extract",
 ]
 
 

@@ -479,3 +479,42 @@ def test_dedup_rate_by_source_reconciles_with_corpus_totals(spark, sf_dir):
         assert abs(
             r["dup_rate"] - round(1.0 - r["n_novel"] / r["n_spans"], 6)
         ) < 1e-12
+
+
+def test_repeated_span_extract_invariants(spark, sf_dir):
+    """Maximal-span structure: every span is >= W chars, lies inside its
+    document, spans of one doc are disjoint AND non-adjacent (separated by
+    > 1 char of non-certified text — else they would have merged), and the
+    per-doc certified mass never exceeds what the census reports globally."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        SUBSTR_W,
+        repeated_span_extract,
+        repeated_substring_census,
+    )
+
+    spans = repeated_span_extract(spark, sf_dir)
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("doc_len")
+    )
+    rows = [
+        r.asDict()
+        for r in spans.join(lens, "doc_id").toLocalIterator()
+    ]
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        assert r["span_len"] >= SUBSTR_W
+        assert 1 <= r["span_start"] <= r["span_end"] <= r["doc_len"]
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["span_start"])
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            # islands merge when position gap <= W, so surviving spans are
+            # separated by more than W - (W-1) = 1 uncertified position
+            assert b["span_start"] > a["span_end"] + 1
+    census = repeated_substring_census(spark, sf_dir).first()
+    # every span contains at least one repeated window; islands can't
+    # outnumber repeated positions
+    assert len(rows) <= census["repeated_mass"]
