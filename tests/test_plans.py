@@ -272,7 +272,12 @@ def test_aggregates_stay_hash_based(name, spark, sf_dir):
         ("multi_join_revenue_by_nation", 1),
         ("events_tumbling_1h", 1),
         ("chunk_scan_fixed", 0),
-        ("chunk_scan_cdc", 0),  # CDC boundaries are per-row window hashes
+        # CDC boundaries are per-row window hashes — zero shuffles of its
+        # own; the 1 budget is catalog.spread_if_narrow's adaptive
+        # round-robin Exchange (the test corpus is ONE parquet row group,
+        # which would pin the whole md5 sweep to a single core; on a
+        # multi-split corpus the spread is a no-op and the plan is 0)
+        ("chunk_scan_cdc", 1),
         ("doc_feature_hash_vector", 1),  # explode + ONE hash aggregate
         ("text_fingerprint", 0),
         ("vector_norms", 0),
