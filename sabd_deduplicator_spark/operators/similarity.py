@@ -311,6 +311,129 @@ def knn_exact_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_DENSITY_K = 5  # neighbors averaged for the density score
+
+
+@query(
+    "embedding_knn_density",
+    oracle=(
+        "WITH c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "CAST(round(("
+        + _cosine_sql("a.embedding", "b.embedding")
+        + ") * 1e6) AS BIGINT) AS c6 "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+        "t AS (SELECT vec_a, c6, ROW_NUMBER() OVER (PARTITION BY vec_a "
+        "  ORDER BY c6 DESC, vec_b) AS rn FROM c), "
+        f"g AS (SELECT vec_a AS vec_id, CAST(sum(c6) AS BIGINT) AS s, "
+        f"  CAST(count(*) AS BIGINT) AS cnt FROM t WHERE rn <= {KNN_DENSITY_K} "
+        "  GROUP BY vec_a) "
+        "SELECT vec_id, round(CAST(s AS DOUBLE) / (cnt * 1e6), 6) "
+        "  AS knn_mean_cos, "
+        "CAST(ntile(10) OVER (ORDER BY CAST(s AS DOUBLE) / cnt, vec_id) "
+        "  AS BIGINT) AS density_decile "
+        "FROM g"
+    ),
+)
+def embedding_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN density score per vector: mean cosine to the K=5 EXACT nearest
+    neighbors, plus a rank decile — decile 1 is the sparsest tail
+    (isolated vectors: broken embeddings, off-distribution content, the
+    pruning candidates SemDeDup-style curation inspects BEFORE clustering,
+    Abbas et al. 2023 §3; the dense top deciles are where
+    embedding_neardup_pairs finds its duplicates).
+
+    Same tiled-BLAS grid as knn_exact_top1, except each tile emits its
+    tile-local TOP-K packed (cos, ¬vec_b) ordinals per row (K rows per
+    (vector, tile) instead of 1) and the global top-K per vector is a
+    row_number ≤ K over a window PARTITIONED by vec_a — input 5·n_blocks
+    rows per vector, never the full gram. The mean is computed in INTEGER
+    space (the packed c6 = round(cos·1e6) values sum exactly; one double
+    division at the end), so cross-engine float drift cannot move a
+    decile boundary: the decile order key (s/cnt, vec_id) is derived from
+    exact integers identically in both dialects. The global ntile is a
+    total-order op BY SEMANTICS (same whitelist class as
+    percent_rank_cume_dist — rank deciles over the whole relation); at
+    100 TB it runs as a range-partitioned rank over n doc-level rows,
+    corpus-mass-reduced by the aggregate before it."""
+    import math
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    nb = max(1, math.ceil(n / TILE_ROWS))
+    blocks = e.groupBy(F.pmod("vec_id", F.lit(nb)).alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    )
+    a = blocks.select(F.col("blk").alias("ablk"), F.col("vecs").alias("avecs"))
+    b = blocks.select(F.col("blk").alias("bblk"), F.col("vecs").alias("bvecs"))
+    tiles = a.join(b, F.col("ablk") <= F.col("bblk"))
+    k = KNN_DENSITY_K
+
+    def tile_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        id_mask = (1 << _KNN_ID_BITS) - 1
+
+        def unpack(cell):
+            ids = np.fromiter((v["vec_id"] for v in cell), dtype=np.int64)
+            _check_knn_ids(ids)
+            m = np.stack(
+                [np.asarray(v["embedding"], dtype=np.float64) for v in cell]
+            )
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        def side_topk(ids_row, ids_col, g):
+            # per row: K best (cos desc, neighbor id asc) as packed ordinals
+            order = np.argsort(ids_col)
+            g = g[:, order]
+            ids_col = ids_col[order]
+            diag = np.isneginf(g)  # masked self-pairs; zeroed before the
+            c6 = (                 # int cast (casting -inf is UB/warning)
+                np.round(np.where(diag, 0.0, g) * 1e6).astype(np.int64)
+                + _COS_SHIFT
+            )
+            ords = (c6 << _KNN_ID_BITS) | (id_mask - ids_col[None, :])
+            ords[diag] = -1
+            kk = min(k, ords.shape[1])
+            top = -np.partition(-ords, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(ids_row, kk)
+            flat = top.reshape(-1)
+            keep = flat >= 0
+            return pd.DataFrame({"vec_a": rows[keep], "ord": flat[keep]})
+
+        for chunk in batches:
+            for _, row in chunk.iterrows():
+                ids_a, ma = unpack(row["avecs"])
+                ids_b, mb = unpack(row["bvecs"])
+                g = np.round(ma @ mb.T, 6)
+                if int(row["ablk"]) == int(row["bblk"]):
+                    if len(ids_a) < 2:
+                        continue
+                    np.fill_diagonal(g, -np.inf)
+                    yield side_topk(ids_a, ids_b, g)
+                else:
+                    yield side_topk(ids_a, ids_b, g)
+                    yield side_topk(ids_b, ids_a, g.T)
+
+    cand = tiles.mapInPandas(tile_topk, "vec_a long, ord long")
+    w = Window.partitionBy("vec_a").orderBy(F.col("ord").desc())
+    top = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    c6 = F.shiftright("ord", _KNN_ID_BITS) - F.lit(_COS_SHIFT)
+    g = top.groupBy(F.col("vec_a").alias("vec_id")).agg(
+        F.sum(c6).alias("s"), F.count("*").alias("cnt")
+    )
+    mean_key = F.col("s").cast("double") / F.col("cnt")
+    dec_w = Window.orderBy(mean_key, "vec_id")
+    return g.select(
+        "vec_id",
+        F.round(F.col("s").cast("double") / (F.col("cnt") * 1e6), 6).alias(
+            "knn_mean_cos"
+        ),
+        F.ntile(10).over(dec_w).cast("long").alias("density_decile"),
+    )
+
+
 # --- 1c. per-label centroids (ANN training / corpus stats) ------------------
 
 

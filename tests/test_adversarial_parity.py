@@ -72,6 +72,7 @@ SUBSET = [
     "repeated_substring_census",  # r6: stride-1 window census, NULL-fold scalars
     "doc_repeated_substring_flags",  # r6: hot-window semi-join + ratio gate
     "repeated_span_extract",   # r6: gaps-and-islands over repeated positions
+    "embedding_knn_density",   # r6: integer-space top-k merge + global decile
 ]
 
 

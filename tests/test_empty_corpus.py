@@ -72,6 +72,7 @@ SUBSET = [
     "repeated_substring_census",
     "doc_repeated_substring_flags",
     "repeated_span_extract",
+    "embedding_knn_density",
 ]
 
 
