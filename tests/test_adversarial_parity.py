@@ -73,6 +73,7 @@ SUBSET = [
     "doc_repeated_substring_flags",  # r6: hot-window semi-join + ratio gate
     "repeated_span_extract",   # r6: gaps-and-islands over repeated positions
     "embedding_knn_density",   # r6: integer-space top-k merge + global decile
+    "sketch_order_locality",   # r6: two total-order row_numbers + pair Jaccard
 ]
 
 

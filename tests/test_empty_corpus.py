@@ -73,6 +73,7 @@ SUBSET = [
     "doc_repeated_substring_flags",
     "repeated_span_extract",
     "embedding_knn_density",
+    "sketch_order_locality",
 ]
 
 
