@@ -1847,6 +1847,159 @@ def source_minhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BAND_CONFIGS = ((4, 2), (2, 4), (1, 8))  # (bands, rows) sweeps of the 8 sigs
+
+
+def _band_cfg_sql(b: int, r: int) -> str:
+    parts = []
+    for i in range(b):
+        cols = " || '|' || ".join(f"h{i * r + j}" for j in range(r))
+        parts.append(f"SELECT doc_id, {i} AS band, {cols} AS key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+_BANDS_ALL_SQL = " UNION ALL ".join(
+    f"SELECT 'b{b}r{r}' AS cfg, * FROM ({_band_cfg_sql(b, r)})"
+    for b, r in _BAND_CONFIGS
+)
+
+
+@query(
+    "minhash_band_tuning",
+    oracle=(
+        "WITH sh AS (" + _SHINGLES_SQL + "), "
+        "sig AS (" + _MINHASH_SIG_SQL + "), "
+        "cand AS (SELECT cfg, l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "  FROM (" + _BANDS_ALL_SQL + ") l "
+        "  JOIN (" + _BANDS_ALL_SQL + ") r USING (cfg, band, key) "
+        "  WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3), "
+        "pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p "
+        "  JOIN sh a ON a.doc_id = p.doc_a "
+        "  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh GROUP BY 1, 2), "
+        "ver AS (SELECT p.doc_a, p.doc_b, CASE WHEN coalesce(i, 0) "
+        "  / CAST(sa.n + sb.n - coalesce(i, 0) AS DOUBLE) >= 0.5 "
+        "  THEN 1 ELSE 0 END AS is_dup "
+        "  FROM pairs p LEFT JOIN inter USING (doc_a, doc_b) "
+        "  JOIN sz sa ON sa.doc_id = p.doc_a "
+        "  JOIN sz sb ON sb.doc_id = p.doc_b), "
+        "tot AS (SELECT CAST(sum(is_dup) AS DOUBLE) AS n_truth FROM ver) "
+        "SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates, "
+        "CAST(sum(is_dup) AS BIGINT) AS n_verified, "
+        "round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS precision, "
+        "round(sum(is_dup) / nullif(n_truth, 0), 6) AS pooled_recall "
+        "FROM cand JOIN ver USING (doc_a, doc_b) CROSS JOIN tot "
+        "GROUP BY cfg, n_truth"
+    ),
+)
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands, rows) S-CURVE sweep — THE design decision of LSH dedup
+    at scale, measured: candidate volume, exact-verified true pairs,
+    precision, and recall for (b=4,r=2) / (b=2,r=4) / (b=1,r=8) over the
+    SAME 8 signatures. Collision threshold ~ (1/b)^(1/r), so the sweep
+    walks the curve from permissive (r=2: every true pair found, ~6%
+    precision — 429 candidates for 25 dups at sf0.01) to full-signature
+    identity (r=8: 100% precision, 84% recall). Pooled-truth recall is
+    exact, not an estimate: r-tuples NEST (a collision on (h0..h3)
+    implies collisions on (h0,h1) and (h2,h3)), so candidates(b1r8) ⊆
+    candidates(b2r4) ⊆ candidates(b4r2) and the permissive config's
+    verified pairs ARE the union's truth set. This is the measurement a
+    100-TB dedup run does at small scale before committing to a banding —
+    each extra candidate is a real exact-verify bill (Broder '97 §4 /
+    the classic MMDS ch.3 tuning analysis, productized). Exact
+    verification touches only the pooled candidate set — the same
+    O(candidates) budget minhash_lsh_neardup pays — and the pooled-truth
+    scalar is a 1-row cross join (plan-whitelisted)."""
+    sh = doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+
+    def band_cfg(b: int, r: int) -> DataFrame:
+        return sig.select(
+            F.lit(f"b{b}r{r}").alias("cfg"),
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{i * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            ).alias("key"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("cfg", "doc_id", "bk.band", "bk.key")
+
+    bands = band_cfg(*_BAND_CONFIGS[0])
+    for cfg in _BAND_CONFIGS[1:]:
+        bands = bands.unionByName(band_cfg(*cfg))
+    l = bands.select("cfg", "band", "key", F.col("doc_id").alias("doc_a"))
+    r_ = bands.select("cfg", "band", "key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        l.join(r_, ["cfg", "band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = cand.select("doc_a", "doc_b").distinct()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    ver = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+        .join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(jac >= 0.5, 1).otherwise(0).alias("is_dup"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = ver.agg(F.sum("is_dup").cast("double").alias("n_truth"))
+    return (
+        cand.join(ver, ["doc_a", "doc_b"])
+        .groupBy("cfg")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum("is_dup").alias("n_verified"),
+            F.round(
+                F.sum("is_dup") / F.count("*").cast("double"), 6
+            ).alias("precision"),
+            F.sum("is_dup").alias("_v"),
+        )
+        .crossJoin(tot)
+        .select(
+            "cfg",
+            "n_candidates",
+            "n_verified",
+            "precision",
+            F.round(
+                F.col("_v") / F.nullif(F.col("n_truth"), F.lit(0.0)), 6
+            ).alias("pooled_recall"),
+        )
+    )
+
+
 _SIG_ORDER_COLS = [f"h{k}" for k in range(MINHASH_PERMS)]
 
 

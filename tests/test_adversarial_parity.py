@@ -74,6 +74,7 @@ SUBSET = [
     "repeated_span_extract",   # r6: gaps-and-islands over repeated positions
     "embedding_knn_density",   # r6: integer-space top-k merge + global decile
     "sketch_order_locality",   # r6: two total-order row_numbers + pair Jaccard
+    "minhash_band_tuning",     # r6: nested band configs + pooled-truth verify
 ]
 
 

@@ -74,6 +74,7 @@ SUBSET = [
     "repeated_span_extract",
     "embedding_knn_density",
     "sketch_order_locality",
+    "minhash_band_tuning",
 ]
 
 

@@ -117,6 +117,7 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("ntile_customer_deciles", GLOBAL_WINDOW): "ntile(10) over the whole table IS a total-order op; scale path = range-partitioned rank from sampled quantile boundaries",
     ("percent_rank_cume_dist", GLOBAL_WINDOW): "percent_rank/cume_dist over the whole table IS a total-order op; same range-partitioned scale path",
     ("embedding_knn_density", "BroadcastNestedLoopJoin"): "tile grid (block descriptors)",
+    ("minhash_band_tuning", "BroadcastNestedLoopJoin"): "1-row pooled-truth scalar cross join",
     ("embedding_knn_density", GLOBAL_WINDOW): "density DECILE over all vectors IS a total-order op (same class as percent_rank_cume_dist); input is one row per vector, corpus-mass-reduced by the top-k aggregate",
     # sketch_order_locality's two total-order row_numbers (the query's
     # semantics) run inside its localCheckpointed rank relation, so the
