@@ -853,3 +853,140 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BPE_PAIRS_K)
         .select("pair", "n", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+BPE_LEARN_ROUNDS = 4  # unrolled training rounds, one output row each
+_BSEP = "\x01"  # symbol delimiter (stripped from input first, both engines)
+
+# DuckDB fragments for the unrolled trainer: per-token symbol state is
+# SEP2 || sym || SEP2 || sym || … || SEP2 with SEP2 = chr(1)chr(1).
+_BPE_SEED_SQL = (
+    "SELECT chr(1)||chr(1) || array_to_string(list_transform("
+    "range(1, length(t)+1), i -> substr(t, CAST(i AS INT), 1)), "
+    "chr(1)||chr(1)) || chr(1)||chr(1) AS state "
+    "FROM (SELECT unnest(string_split(replace(text, chr(1), ''), ' ')) AS t "
+    "FROM documents WHERE text IS NOT NULL) WHERE length(t) >= 1"
+)
+
+
+def _bpe_round_sql(prev: str, m: str, s: str) -> str:
+    key = f"(SELECT key FROM {m})"
+    a = f"string_split({key}, chr(1))[1]"
+    b = f"string_split({key}, chr(1))[2]"
+    return (
+        f"p_{m} AS (SELECT syms[i] || chr(1) || syms[i+1] AS key FROM ("
+        f"  SELECT list_filter(string_split(state, chr(1)||chr(1)), "
+        f"  s -> s <> '') AS syms FROM {prev}), "
+        f"  LATERAL unnest(range(1, len(syms))) AS u(i) WHERE len(syms) >= 2), "
+        f"{m} AS MATERIALIZED (SELECT key, count(*) AS n FROM p_{m} GROUP BY key "
+        f"  ORDER BY n DESC, key LIMIT 1), "
+        f"{s} AS MATERIALIZED (SELECT CASE WHEN {key} IS NULL THEN state ELSE "
+        f"  replace(state, chr(1) || {a} || chr(1)||chr(1) || {b} || chr(1), "
+        f"  chr(1) || {a} || {b} || chr(1)) END AS state FROM {prev})"
+    )
+
+
+def _bpe_oracle() -> str:
+    ctes = ["s0 AS MATERIALIZED (" + _BPE_SEED_SQL + ")"]
+    selects = []
+    for r in range(1, BPE_LEARN_ROUNDS + 1):
+        ctes.append(_bpe_round_sql(f"s{r - 1}", f"m{r}", f"s{r}"))
+        selects.append(
+            f"SELECT {r} AS round, string_split(key, chr(1))[1] AS sym_a, "
+            f"string_split(key, chr(1))[2] AS sym_b, CAST(n AS BIGINT) AS n "
+            f"FROM m{r}"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") WHERE sym_a IS NOT NULL"
+    )
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, rounds 1..4 unrolled — the iterative tokenizer-
+    induction loop (Sennrich ACL'16 Algorithm 1) with full cross-engine
+    value parity, extending bpe_first_merges (iteration 0's census) to the
+    actual train loop: pick the most frequent adjacent symbol pair
+    (ties: lexicographically smallest), MERGE it everywhere, recount.
+
+    The merge application — the part that looks like it needs imperative
+    code — is a single literal ``replace()`` per round via a delimiter-
+    doubling encoding: token state is ``⁁⁁sym⁁⁁sym⁁⁁…`` (⁁ = chr(1),
+    stripped from input first) and the merge rewrites
+    ``⁁a⁁⁁b⁁ → ⁁ab⁁``: each match consumes ONE delimiter from each
+    flank, so the leftover single delimiters reconstitute the doubled
+    boundary on both sides and immediately-adjacent matches still fire.
+    Leftmost non-overlapping ``replace`` semantics (identical in Spark
+    and DuckDB) are then EXACTLY greedy BPE application — verified
+    against an imperative reference on adversarial chains (aⁿ, (ab)ⁿ,
+    self-merges, merged-symbol merges) in tests/test_llm_pipeline.py.
+
+    Scale shape: each round is one codegen pair-explode + ONE hash
+    aggregate over (pair) with map-side combine, a driver top-1 scalar
+    (the package's `.first()` convention — the merge table IS tiny
+    driver state in every real BPE trainer), and a per-row replace
+    projection. R rounds = R corpus passes, embarrassingly parallel —
+    at 100 TB this is precisely how a distributed BPE trainer runs, with
+    the merge table broadcast each round."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    sep2_lit = F.lit(_BSEP + _BSEP)
+    d = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    tok = d.select(
+        F.explode(
+            F.split(F.replace(F.col("text"), F.lit(_BSEP), F.lit("")), " ")
+        ).alias("t")
+    ).filter(F.length("t") >= 1)
+    chars = F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+    st = tok.select(
+        F.concat(
+            sep2_lit, F.array_join(chars, _BSEP + _BSEP), sep2_lit
+        ).alias("state")
+    )
+    rows = []
+    for rnd in range(1, BPE_LEARN_ROUNDS + 1):
+        syms = F.filter(
+            F.split("state", _BSEP + _BSEP), lambda s: s != F.lit("")
+        )
+        pair = F.explode(
+            F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.concat(
+                        F.element_at(syms, i + 1),
+                        F.lit(_BSEP),
+                        F.element_at(syms, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array())
+        )
+        best = (
+            st.select(pair.alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "key")
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        a, b = best["key"].split(_BSEP)
+        rows.append((rnd, a, b, int(best["n"])))
+        # no checkpoint: the lineage is seed + r cheap replace projections,
+        # and replaying it beats a per-round materialization job
+        st = st.withColumn(
+            "state",
+            F.replace(
+                F.col("state"),
+                F.lit(_BSEP + a + _BSEP + _BSEP + b + _BSEP),
+                F.lit(_BSEP + a + b + _BSEP),
+            ),
+        )
+    return spark.createDataFrame(
+        rows, "round int, sym_a string, sym_b string, n long"
+    ).select(F.col("round").cast("int"), "sym_a", "sym_b", "n")

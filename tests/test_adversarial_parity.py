@@ -75,6 +75,7 @@ SUBSET = [
     "embedding_knn_density",   # r6: integer-space top-k merge + global decile
     "sketch_order_locality",   # r6: two total-order row_numbers + pair Jaccard
     "minhash_band_tuning",     # r6: nested band configs + pooled-truth verify
+    "bpe_learn_merges",        # r6: 4 sequential scalar merges, tie-chains
 ]
 
 

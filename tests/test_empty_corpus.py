@@ -75,6 +75,7 @@ SUBSET = [
     "embedding_knn_density",
     "sketch_order_locality",
     "minhash_band_tuning",
+    "bpe_learn_merges",
 ]
 
 

@@ -518,3 +518,57 @@ def test_repeated_span_extract_invariants(spark, sf_dir):
     # every span contains at least one repeated window; islands can't
     # outnumber repeated positions
     assert len(rows) <= census["repeated_mass"]
+
+
+def test_bpe_replace_trick_equals_imperative_greedy(spark):
+    """The delimiter-doubling replace() encoding in bpe_learn_merges must
+    reproduce IMPERATIVE leftmost-greedy BPE exactly — stressed on the
+    adversarial chains where naive encodings break: a^n self-merge chains,
+    (ab)^n alternations, merges of already-merged symbols."""
+    import collections
+
+    toks = ["aaaaaa", "ababab", "aabab", "bbb", "abba", "aaabaaa", "ab",
+            "a", "ba" * 7, "xaay", "aaaa"]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i in range(2)], "doc_id long, text string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bpe_chain_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from sabd_deduplicator_spark.operators.text import (
+        BPE_LEARN_ROUNDS,
+        bpe_learn_merges,
+    )
+
+    got = [
+        (r["round"], r["sym_a"], r["sym_b"], r["n"])
+        for r in bpe_learn_merges(spark, d).orderBy("round").collect()
+    ]
+    # imperative reference (two identical docs → counts double)
+    states = [list(t) for t in toks for _ in range(2)]
+    ref = []
+    for rnd in range(1, BPE_LEARN_ROUNDS + 1):
+        cnt = collections.Counter()
+        for s in states:
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += 1
+        if not cnt:
+            break
+        mx = max(cnt.values())
+        key = sorted("\x01".join(k) for k, v in cnt.items() if v == mx)[0]
+        a, b = key.split("\x01")
+        ref.append((rnd, a, b, mx))
+        nxt = []
+        for s in states:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        states = nxt
+    assert got == ref, (got, ref)
