@@ -990,3 +990,54 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, sym_a string, sym_b string, n long"
     ).select(F.col("round").cast("int"), "sym_a", "sym_b", "n")
+
+
+ZIPF_TOP_RANKS = 1000  # fit window: the classic head-of-vocabulary fit
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=(
+        "WITH tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS freq "
+        "  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token "
+        "  FROM documents) GROUP BY 1, 2), "
+        "r AS (SELECT lang, freq, row_number() OVER ("
+        "  PARTITION BY lang ORDER BY freq DESC, token) AS rnk FROM tf) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks, "
+        "round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope, "
+        "round(regr_r2(ln(freq), ln(rnk)), 6) AS fit_r2 "
+        f"FROM r WHERE rnk <= {ZIPF_TOP_RANKS} GROUP BY lang"
+    ),
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope and R² of ln(freq) on ln(rank)
+    over the top ZIPF_TOP_RANKS vocabulary ranks — the classic corpus
+    health check (natural language sits near slope −1 with high R²,
+    Zipf '49 / Piantadosi 2014 review; machine-generated or
+    template-heavy text flattens the head and the fit collapses — this
+    synthetic corpus reads slope ≈ −0.2, R² ≈ 0.1, which is exactly the
+    'not natural text' verdict the diagnostic exists to give).
+
+    Shape: one (lang, token) hash aggregate with map-side combine, a
+    rank window PARTITIONED by lang over vocabulary-sized rows (already
+    corpus-mass-reduced), and regr_slope/regr_r2 aggregates over ≤ 1000
+    points per language. Both engines compute the regression in double
+    over the same ≤1000-point sets; 6-dp rounding absorbs sum-order ulp
+    drift (the doc_unigram_logprob discipline)."""
+    d = with_tokens(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("lang", F.explode("tokens").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "token")
+    r = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= ZIPF_TOP_RANKS
+    )
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6).alias("fit_r2"),
+    )

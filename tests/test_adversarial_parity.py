@@ -76,6 +76,7 @@ SUBSET = [
     "sketch_order_locality",   # r6: two total-order row_numbers + pair Jaccard
     "minhash_band_tuning",     # r6: nested band configs + pooled-truth verify
     "bpe_learn_merges",        # r6: 4 sequential scalar merges, tie-chains
+    "corpus_zipf_slope",       # r6: double regression aggregates + rank window
 ]
 
 

@@ -76,6 +76,7 @@ SUBSET = [
     "sketch_order_locality",
     "minhash_band_tuning",
     "bpe_learn_merges",
+    "corpus_zipf_slope",
 ]
 
 
