@@ -19,6 +19,11 @@ from pyspark.sql.types import (
 
 # Reference `files` catalog row (migration:5-9): filename varchar(64),
 # bytes = chunk size used for that file, algorithm varchar(8).
+# CONVENTION: bytes=0 for variable-size chunkers (chunker='cdc'), where no
+# single chunk size exists. In the reference, files.bytes is load-bearing
+# (offset arithmetic in find_chunk/read_chunks); here recovery is token-based
+# (operators/encode.py), so bytes is metadata only — consumers must not use
+# a bytes=0 entry as a chunk size.
 FILES = StructType(
     [
         StructField("file_id", LongType(), False),

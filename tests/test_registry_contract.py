@@ -37,7 +37,9 @@ def test_oracles_reference_only_registered_views():
             for t in toks
             if t.lower() not in candidates
             # CTE/alias names declared inside the same statement are fine
-            and not re.search(rf"\b{t}\s+AS\s*\(", sql, re.IGNORECASE)
+            # (DuckDB also allows `name AS MATERIALIZED (...)` — used by the
+            # chained/iterative oracles to stop exponential CTE re-inlining)
+            and not re.search(rf"\b{t}\s+AS\s*(MATERIALIZED\s+)?\(", sql, re.IGNORECASE)
             and not re.search(rf"\({{0}}\b{t}\b\s*\(", sql)
         }
         # anything still unknown must appear as an inline alias target `) x`
