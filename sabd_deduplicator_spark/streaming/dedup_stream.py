@@ -107,13 +107,25 @@ def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table and return it
-    as a batch DataFrame (test harness helper)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    as a batch DataFrame (test harness helper). Checkpoints on tmpfs (see
+    registered.scratch_root) — per-micro-batch WAL/state fsyncs are pure
+    harness I/O for a drained stream."""
+    import shutil
+    import tempfile
+
+    from sabd_deduplicator_spark.streaming.registered import scratch_root
+
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_", dir=scratch_root())
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)

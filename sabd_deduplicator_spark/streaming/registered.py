@@ -31,6 +31,28 @@ _SINK_IDS = itertools.count()
 
 _STAGE_MEMO: dict[str, str] = {}
 
+
+def scratch_root() -> str | None:
+    """Directory for streaming scratch (checkpoints, staged sources) —
+    prefers tmpfs. Every micro-batch commits one state-store delta file PER
+    STATE PARTITION plus offset/commit WAL entries; on a disk-backed /tmp
+    those fsync-heavy small writes dominate drain wall time and are the
+    single most host-disturbance-sensitive cost in the bench (r6: the 11
+    drains swung 5.9-14.4x under an I/O-noisy tenant while their code was
+    untouched). /dev/shm is tmpfs on Linux, so routing the checkpoints there
+    removes that variance without changing any query semantics — state
+    durability across process crashes is irrelevant for availableNow drains
+    whose sources are re-stageable. Returns None when no tmpfs candidate is
+    usable (tempfile then falls back to its default). Override with
+    SPARK_GRAFT_SCRATCH=dir (or =0 to disable)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env == "0":
+        return None
+    for cand in ([env] if env else []) + ["/dev/shm"]:
+        if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
+            return cand
+    return None
+
 # Event-time span of the events table, memoized per sf_dir: the attribution
 # drain derives its watermark delay from it (see streaming_attribution_join),
 # and the min/max scan should not be re-paid on every build (ADVICE r4).
@@ -86,7 +108,7 @@ def _stage(
         ):
             return out
         del _STAGE_MEMO[key]
-    out = tempfile.mkdtemp(prefix="stream_stage_")
+    out = tempfile.mkdtemp(prefix="stream_stage_", dir=scratch_root())
     df.repartition(n_files).write.mode("overwrite").parquet(out)
     if key is not None:
         _STAGE_MEMO[key] = out
@@ -105,15 +127,21 @@ def _drain(
     is identical: pick state partitions for state volume/parallelism, since
     they cannot be changed after the checkpoint is created. The conf is
     restored after start so batch plans are unaffected."""
+    import tempfile
+
     spark = stream_df.sparkSession
     name = f"reg_sink_{os.getpid()}_{next(_SINK_IDS)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # checkpoint on tmpfs (see scratch_root): the WAL + state-store delta
+    # fsyncs per micro-batch are pure harness I/O for an availableNow drain
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_", dir=scratch_root())
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -122,6 +150,11 @@ def _drain(
         # restore only after termination: the first micro-batch reads the
         # conf when it PLANS (async, after start() returns), not at start
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the drain is finished and the memory sink holds the result — the
+        # checkpoint is dead weight (and RAM, when scratch is tmpfs)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
