@@ -168,6 +168,9 @@ class CorpusBuildResult:
 
     clean_docs: DataFrame  # doc_id, lang, source, split, text, n_tokens
     report: DataFrame      # per-lang survivorship funnel
+    # per-lang ExactSubstr cut census (n_docs_cut, chars_cut); None unless
+    # cut_repeated_spans=True
+    cut_census: DataFrame | None = None
 
 
 def build_training_corpus(
@@ -178,17 +181,22 @@ def build_training_corpus(
     max_tokens: int = 90,
     min_stop_pct: int = 5,
     min_span_survival_pct: int = 50,
+    cut_repeated_spans: bool = False,
 ) -> CorpusBuildResult:
     """End-to-end pre-training corpus build — the user-level composition of
     the LLM-pipeline operators (operators/llm_pipeline.py), the way the
     reference composes chunk→hash→index→encode into deduplicate_file
     (lib/deduplicator.ex:22-57):
 
+    0. (cut_repeated_spans=True) ExactSubstr CUT: certified repeated
+       character spans (Lee et al. 2022; repeated_span_extract semantics)
+       are removed from every document, and ALL later stages see the cut
+       text — the oracle-checked twin is corpus_build_funnel_cut;
     1. span-level corpus dedup (span_survivorship): each doc is rewritten to
        its globally-first-occurring `span_tokens`-token spans;
-    2. quality gates on the ORIGINAL doc (token-length band, stopword-ratio
-       floor — integer arithmetic, no float compares) plus the span-survival
-       floor (near-dup removal);
+    2. quality gates on the (possibly cut) doc (token-length band,
+       stopword-ratio floor — integer arithmetic, no float compares) plus
+       the span-survival floor (near-dup removal);
     3. deterministic md5-bucket train/val/test assignment (train_split_col).
 
     Returns the cleaned, labeled corpus (text = deduped reassembly, token
@@ -197,10 +205,19 @@ def build_training_corpus(
     the reassembly aggregate); nothing touches the driver.
     """
     from sabd_deduplicator_spark.operators.llm_pipeline import (
+        exactsubstr_cut,
         span_survivorship,
         train_split_col,
     )
     from sabd_deduplicator_spark.operators.text import STOPWORDS, with_tokens
+
+    cut_census = None
+    if cut_repeated_spans:
+        docs = exactsubstr_cut(docs)
+        cut_census = docs.groupBy("lang").agg(
+            F.sum((F.col("n_cut_spans") > 0).cast("long")).alias("n_docs_cut"),
+            F.sum("chars_cut").cast("long").alias("chars_cut"),
+        )
 
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     d = with_tokens(docs).select(
@@ -239,4 +256,6 @@ def build_training_corpus(
             "tokens_final"
         ),
     )
-    return CorpusBuildResult(clean_docs=clean, report=report)
+    return CorpusBuildResult(
+        clean_docs=clean, report=report, cut_census=cut_census
+    )

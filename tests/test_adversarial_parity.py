@@ -77,6 +77,7 @@ SUBSET = [
     "minhash_band_tuning",     # r6: nested band configs + pooled-truth verify
     "bpe_learn_merges",        # r6: 4 sequential scalar merges, tie-chains
     "corpus_zipf_slope",       # r6: double regression aggregates + rank window
+    "corpus_build_funnel_cut", # r7: ExactSubstr cut + funnel over the cut corpus
 ]
 
 

@@ -77,6 +77,8 @@ SUBSET = [
     "minhash_band_tuning",
     "bpe_learn_merges",
     "corpus_zipf_slope",
+    # r7: ExactSubstr cut stage wired into the funnel
+    "corpus_build_funnel_cut",
 ]
 
 

@@ -164,6 +164,108 @@ def test_build_training_corpus_matches_funnel_query(spark, sf_dir):
     )
 
 
+def test_exactsubstr_cut_identity_and_api_wiring(spark, sf_dir):
+    """The cut stage keeps the reference's encode→recovery identity
+    discipline (lib/deduplicator.ex:173-215) at the cut level: for every
+    document, the extracted spans plus the kept text TILE the original —
+    (1) length(text) == length(cut) + chars_cut, and (2) re-inserting each
+    extracted span's characters at span_start reconstructs the original
+    byte-exactly. Also: api.build_training_corpus(cut_repeated_spans=True)'s
+    cut census must equal the oracle-checked corpus_build_funnel_cut's cut
+    columns, and uncut docs pass through identical."""
+    from sabd_deduplicator_spark.api import build_training_corpus
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        corpus_build_funnel_cut,
+        exactsubstr_cut,
+        repeated_span_extract,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    cut = exactsubstr_cut(docs)
+
+    # (1) length identity, every doc
+    orig = docs.select("doc_id", F.length("text").alias("n0"))
+    j = cut.select(
+        "doc_id", F.length("text").alias("n1"), "chars_cut", "n_cut_spans"
+    ).join(orig, "doc_id")
+    assert j.filter(
+        F.coalesce("n1", F.lit(0)) + F.col("chars_cut")
+        != F.coalesce("n0", F.lit(0))
+    ).count() == 0
+
+    # (2) byte-exact reconstruction on a deterministic sample: the cut text
+    # must equal the original with the certified spans deleted in place —
+    # equivalently, re-inserting each span's characters at span_start
+    # rebuilds the original exactly (checked python-side, where splicing
+    # with a running offset is direct)
+    spans = repeated_span_extract(spark, sf_dir)
+    sample = (
+        docs.join(spans.select("doc_id").distinct(), "doc_id")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    span_map: dict[int, list] = {}
+    for r in (
+        spans.join(
+            spark.createDataFrame([(r["doc_id"],) for r in sample], "doc_id long"),
+            "doc_id",
+        )
+        .orderBy("doc_id", "span_start")
+        .collect()
+    ):
+        span_map.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    cut_map = {
+        r["doc_id"]: r["text"]
+        for r in cut.join(
+            spark.createDataFrame([(r["doc_id"],) for r in sample], "doc_id long"),
+            "doc_id",
+        ).collect()
+    }
+    for r in sample:
+        t = r["text"]
+        kept, pos = [], 1
+        for s, e in span_map[r["doc_id"]]:
+            kept.append(t[pos - 1 : s - 1])
+            pos = e + 1
+        kept.append(t[pos - 1 :])
+        assert "".join(kept) == cut_map[r["doc_id"]], r["doc_id"]
+
+    # (3) api wiring: cut census equals the registered query's cut columns
+    # (the api pipeline also needs `source` for the split/report stages)
+    res = build_training_corpus(
+        spark,
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        ),
+        cut_repeated_spans=True,
+    )
+    assert res.cut_census is not None
+    api_census = {
+        r["lang"]: (r["n_docs_cut"], r["chars_cut"])
+        for r in res.cut_census.toLocalIterator()
+    }
+    q_census = {
+        r["lang"]: (r["n_docs_cut"], r["chars_cut"])
+        for r in corpus_build_funnel_cut(spark, sf_dir).toLocalIterator()
+    }
+    assert api_census == q_census
+    # and the funnel over the cut corpus matches the query's funnel columns
+    api_funnel = {
+        r["lang"]: (r["n_docs"], r["n_after_near"], r["n_after_len"],
+                    r["n_final"], r["tokens_final"])
+        for r in res.report.toLocalIterator()
+    }
+    q_funnel = {
+        r["lang"]: (r["n_docs"], r["n_after_near"], r["n_after_len"],
+                    r["n_final"], r["tokens_final"])
+        for r in corpus_build_funnel_cut(spark, sf_dir).toLocalIterator()
+    }
+    assert api_funnel == q_funnel
+
+
 def test_unigram_logprob_mass_weighted_mean_is_corpus_entropy(spark, sf_dir):
     """The token-mass-weighted mean of per-doc cross-entropy must equal the
     corpus unigram entropy H = -sum_t p_t ln p_t (both average the same

@@ -30,7 +30,13 @@ def test_oracles_reference_only_registered_views():
     o = entrymod.oracle_sql()
     candidates = set(TABLES)
     for name, sql in o.items():
-        toks = set(re.findall(r"\bFROM\s+([a-z_][a-z0-9_]*)\b", sql, re.IGNORECASE))
+        # (?<!DISTINCT ) skips the null-safe comparison operator
+        # `IS NOT DISTINCT FROM x`, whose right operand is not a relation
+        toks = set(
+            re.findall(
+                r"(?<!DISTINCT )\bFROM\s+([a-z_][a-z0-9_]*)\b", sql, re.IGNORECASE
+            )
+        )
         toks |= set(re.findall(r"\bJOIN\s+([a-z_][a-z0-9_]*)\b", sql, re.IGNORECASE))
         unknown = {
             t.lower()

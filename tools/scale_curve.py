@@ -48,6 +48,13 @@ QUERIES = (
     "streaming_neardup_dedup",
 )
 
+# queries that read embeddings.parquet instead of documents.parquet — the
+# corpus builder plants 16 separated Gaussian clusters (the regime real
+# embedding corpora live in; same geometry as tests/test_ann_clustered.py)
+ANN_QUERIES = ("ann_lsh_topk", "ann_jl_rerank_topk", "knn_exact_top1")
+ANN_BASE = 6_250  # vectors at factor 1 (10x = 62.5k; exact grid = 3.9e9 pairs)
+ANN_K, ANN_DIM, ANN_SIGMA = 16, 64, 0.05
+
 HOT_SPAN = " ".join(f"hot{j}" for j in range(8))
 VOCAB = 50021  # prime-ish vocabulary size; spans distinct via combination
 
@@ -105,6 +112,36 @@ def build_corpus(spark, out_dir: str, n_docs: int) -> None:
     )
 
 
+def build_embeddings(out_dir: str, n_vecs: int) -> None:
+    """Planted-cluster embedding corpus (ANN_K unit centroids, σ=ANN_SIGMA
+    — intra-cluster cos ≈ 0.86, inter ≈ N(0, 1/DIM)): deterministic, written
+    in 32 row groups so the scans parallelize. numpy generation is fine at
+    these sizes (625k × 64 float32 = 160 MB); the MEASURED operators are
+    the Spark queries, not the generator."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(ANN_K, ANN_DIM))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    labels = np.arange(n_vecs) % ANN_K
+    pts = (
+        cents[labels] + ANN_SIGMA * rng.normal(size=(n_vecs, ANN_DIM))
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs), type=pa.int64()),
+            "embedding": pa.array(pts.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(
+        tbl,
+        f"{out_dir}/embeddings.parquet",
+        row_group_size=max(1, n_vecs // 32),
+    )
+
+
 def shuffle_write_bytes(spark) -> int:
     """Sum of shuffle write bytes over all stages so far, via the UI REST
     API (requires spark.ui.enabled=true in this session)."""
@@ -148,14 +185,22 @@ def main() -> None:
     )
     registry.load_all_queries()
 
+    need_docs = any(q not in ANN_QUERIES for q in args.queries)
+    need_embs = any(q in ANN_QUERIES for q in args.queries)
     rows = []
     for f in args.factors:
         sf_dir = f"{args.out}/x{f}"
-        if not os.path.isdir(f"{sf_dir}/documents.parquet"):
-            os.makedirs(sf_dir, exist_ok=True)
+        os.makedirs(sf_dir, exist_ok=True)
+        if need_docs and not os.path.isdir(f"{sf_dir}/documents.parquet"):
             t0 = time.time()
             build_corpus(spark, sf_dir, args.base * f)
             print(f"built x{f} ({args.base * f} docs) in {time.time()-t0:.1f}s")
+        if need_embs and not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+            t0 = time.time()
+            build_embeddings(sf_dir, ANN_BASE * f)
+            print(
+                f"built x{f} ({ANN_BASE * f} vectors) in {time.time()-t0:.1f}s"
+            )
         for name in args.queries:
             t0 = time.time()
             sb0 = shuffle_write_bytes(spark)
