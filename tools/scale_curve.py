@@ -133,6 +133,9 @@ def build_embeddings(out_dir: str, n_vecs: int) -> None:
         {
             "vec_id": pa.array(np.arange(n_vecs), type=pa.int64()),
             "embedding": pa.array(pts.tolist(), type=pa.list_(pa.float32())),
+            # testdata schema parity: some queries project `label`; the
+            # planted cluster id is the truthful value here
+            "label": pa.array(labels.astype(np.int32), type=pa.int32()),
         }
     )
     pq.write_table(
