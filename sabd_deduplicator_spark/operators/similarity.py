@@ -1632,6 +1632,95 @@ def _documents_count(spark: SparkSession, sf_dir: str) -> int:
     return _DOCS_COUNT_MEMO[key]
 
 
+# incremental-delta oracle: two disjoint shingle strata (existing corpus =
+# doc_id % 10 <> 0, today's delta = doc_id % 10 = 0), each sketched with the
+# SAME permutations (the mergeable-summary property), candidates from the
+# cross band join only — the single-occurrence FROM rewrite keeps the sig /
+# band fragments byte-identical to the registered neardup's
+_MINHASH_INCR_ORACLE = (
+    "WITH she AS ("
+    + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 0")
+    + "), shd AS ("
+    + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 10 = 0")
+    + "), sige AS (" + _MINHASH_SIG_SQL.replace("FROM sh ", "FROM she ")
+    + "), sigd AS (" + _MINHASH_SIG_SQL.replace("FROM sh ", "FROM shd ")
+    + "), bandse AS (" + _MINHASH_BANDS_SQL.replace("FROM sig", "FROM sige")
+    + "), bandsd AS (" + _MINHASH_BANDS_SQL.replace("FROM sig", "FROM sigd")
+    + "), cand AS (SELECT DISTINCT d.doc_id AS delta_doc, e.doc_id AS corpus_doc "
+    "  FROM bandsd d JOIN bandse e ON d.band = e.band AND d.x = e.x "
+    "  AND d.y = e.y), "
+    "szd AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id), "
+    "sze AS (SELECT doc_id, count(*) AS n FROM she GROUP BY doc_id), "
+    "inter AS (SELECT c.delta_doc, c.corpus_doc, count(*) AS i FROM cand c "
+    "  JOIN shd a ON a.doc_id = c.delta_doc "
+    "  JOIN she b ON b.doc_id = c.corpus_doc AND b.sh = a.sh "
+    "  GROUP BY c.delta_doc, c.corpus_doc) "
+    "SELECT delta_doc, corpus_doc, "
+    "round(CAST(i AS DOUBLE) / (sd.n + se.n - i), 6) AS jaccard "
+    "FROM inter JOIN szd sd ON sd.doc_id = delta_doc "
+    "JOIN sze se ON se.doc_id = corpus_doc "
+    "WHERE CAST(i AS DOUBLE) / (sd.n + se.n - i) >= 0.5"
+)
+
+
+@query("minhash_incremental_delta", oracle=_MINHASH_INCR_ORACLE)
+def minhash_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of a DELTA against a stored corpus index —
+    the operation a 100-TB ingestion pipeline actually runs every day: the
+    existing corpus's banded-MinHash table is already materialized (simulated
+    as the doc_id % 10 <> 0 stratum, sketched with the same permutations —
+    signatures are mergeable summaries, so the stored table never needs
+    re-sketching); only TODAY'S batch (doc_id % 10 = 0) is sketched, its
+    band keys probe the stored table with one equi-join, and only the
+    cross-candidates are exact-Jaccard-verified against the corpus shingles.
+
+    Contrast with minhash_lsh_neardup (full self-join: O(corpus) sketch
+    work per run) — here per-run work is O(delta) sketch + O(candidates)
+    verify, the difference between re-processing 100 TB nightly and
+    processing the new 100 GB. At scale the stored band table is bucketed
+    by (band, x, y), making the probe a co-located join; the streaming twin
+    (streaming_neardup_dedup) is the same probe with band-bucket state.
+    Reference anchor: the hash-PK probe of new chunks against the stored
+    hash table (lib/hash.ex:81-103) lifted from exact to near-dup.
+    """
+    sh = doc_shingles(spark, sf_dir)
+    she = sh.filter(F.pmod("doc_id", F.lit(10)) != 0)  # the stored corpus
+    shd = sh.filter(F.pmod("doc_id", F.lit(10)) == 0)  # today's delta
+    bands_e = minhash_bands(she).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "x", "y"
+    )
+    bands_d = minhash_bands(shd).select(
+        F.col("doc_id").alias("delta_doc"), "band", "x", "y"
+    )
+    cand = (
+        bands_d.join(bands_e, ["band", "x", "y"])
+        .select("delta_doc", "corpus_doc")
+        .distinct()
+    )
+    szd = shd.groupBy("doc_id").agg(F.count("*").alias("nd"))
+    sze = she.groupBy("doc_id").agg(F.count("*").alias("ne"))
+    inter = (
+        cand.join(shd.select(F.col("doc_id").alias("delta_doc"), "sh"), "delta_doc")
+        .join(
+            she.select(F.col("doc_id").alias("corpus_doc"), "sh"),
+            ["corpus_doc", "sh"],
+        )
+        .groupBy("delta_doc", "corpus_doc")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("nd") + F.col("ne") - F.col("i"))
+    return (
+        inter.join(
+            szd.select(F.col("doc_id").alias("delta_doc"), "nd"), "delta_doc"
+        )
+        .join(sze.select(F.col("doc_id").alias("corpus_doc"), "ne"), "corpus_doc")
+        .filter(jac >= 0.5)
+        .select(
+            "delta_doc", "corpus_doc", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
 def minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml.MinHashLSH variant (library function, unregistered: its
     r=1 banding makes the candidate join quadratic on low-contrast corpora —

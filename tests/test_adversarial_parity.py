@@ -78,6 +78,7 @@ SUBSET = [
     "bpe_learn_merges",        # r6: 4 sequential scalar merges, tie-chains
     "corpus_zipf_slope",       # r6: double regression aggregates + rank window
     "corpus_build_funnel_cut", # r7: ExactSubstr cut + funnel over the cut corpus
+    "minhash_incremental_delta",  # r7: cross-stratum band probe + verify
 ]
 
 

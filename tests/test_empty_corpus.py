@@ -79,6 +79,8 @@ SUBSET = [
     "corpus_zipf_slope",
     # r7: ExactSubstr cut stage wired into the funnel
     "corpus_build_funnel_cut",
+    # r7: delta-vs-stored-index near-dup probe
+    "minhash_incremental_delta",
 ]
 
 
