@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from tools.plan_audit import EXPECTED, audit
+from tools.plan_audit import CHECKPOINT_LINEAGE, EXPECTED, audit
 
 
 @pytest.fixture(scope="module")
@@ -69,10 +69,17 @@ def test_checkpoint_cannot_hide_a_smell(spark):
 @pytest.mark.slow
 def test_whitelist_has_no_stale_entries(results):
     """Every whitelisted (query, smell) must still occur — a stale entry
-    means a plan improved and the whitelist should shrink to match."""
+    means a plan improved and the whitelist should shrink to match.
+    CHECKPOINT_LINEAGE entries are exempt HERE: their smells live inside
+    memoized checkpointed lineages whose pre-checkpoint plans are only
+    captured by whichever process builds the memo first — in this shared
+    pytest session an earlier test usually has (r7 full-suite failure:
+    exactly this order-dependence). The standalone tool enforces their
+    staleness deterministically in a fresh process."""
     stale = [
         (name, smell)
         for (name, smell) in EXPECTED
         if smell not in results.get(name, {})
+        and (name, smell) not in CHECKPOINT_LINEAGE
     ]
     assert not stale, f"stale whitelist entries (plans improved?): {stale}"

@@ -127,6 +127,18 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("semantic_dedup_corpus", "BroadcastNestedLoopJoin"): "checkpointed embedding-pair memo: upper-triangular tile grid (block descriptors) — same class as embedding_neardup_pairs",
 }
 
+# entries that live ONLY inside MEMOIZED checkpointed lineages: their
+# visibility depends on which process first builds the memo, so in a shared
+# pytest session (where earlier tests may have pre-built it) they can
+# legitimately be absent from the audit result. The standalone tool (fresh
+# process, deterministic sorted-order attribution) enforces their staleness
+# in main(); the shared-session staleness test skips them.
+CHECKPOINT_LINEAGE: set[tuple[str, str]] = {
+    ("ann_recall_vs_exact", GLOBAL_WINDOW),
+    ("semantic_dedup_corpus", "BroadcastNestedLoopJoin"),
+    ("sketch_order_locality", GLOBAL_WINDOW),
+}
+
 
 def audit(spark, sf_dir: str) -> dict[str, dict[str, object]]:
     """Return {query: {smell: count|reason}} for every batch query whose
@@ -184,8 +196,22 @@ def main() -> None:
         flag = f"  UNEXPECTED: {unexpected}" if unexpected else f"  ok ({why})"
         print(f"{name}: {row}{flag}")
         bad += bool(unexpected)
-    print(f"\n{len(results)} queries with smells, {bad} unexpected")
-    sys.exit(1 if bad else 0)
+    # staleness is enforced HERE for every entry (fresh process ⇒ memoized
+    # checkpointed lineages deterministically attributed); the pytest twin
+    # skips CHECKPOINT_LINEAGE entries, whose visibility is order-dependent
+    # in a shared session
+    stale = [
+        (name, smell)
+        for (name, smell) in EXPECTED
+        if smell not in results.get(name, {})
+    ]
+    for entry_key in stale:
+        print(f"STALE whitelist entry (plan improved?): {entry_key}")
+    print(
+        f"\n{len(results)} queries with smells, {bad} unexpected, "
+        f"{len(stale)} stale"
+    )
+    sys.exit(1 if bad or stale else 0)
 
 
 if __name__ == "__main__":
