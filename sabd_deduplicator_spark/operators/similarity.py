@@ -1632,17 +1632,42 @@ def _documents_count(spark: SparkSession, sf_dir: str) -> int:
     return _DOCS_COUNT_MEMO[key]
 
 
+def _documents_mod_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the doc_id % 10 <> 0 'stored corpus' stratum (the
+    incremental-delta split), memoized like _documents_count."""
+    key = ("mod10", source_token(sf_dir, "documents"))
+    if key not in _DOCS_COUNT_MEMO:
+        _DOCS_COUNT_MEMO[key] = (
+            table(spark, sf_dir, "documents")
+            .filter(F.pmod("doc_id", F.lit(10)) != 0)
+            .count()
+        )
+    return _DOCS_COUNT_MEMO[key]
+
+
 # incremental-delta oracle: two disjoint shingle strata (existing corpus =
 # doc_id % 10 <> 0, today's delta = doc_id % 10 = 0), each sketched with the
 # SAME permutations (the mergeable-summary property), candidates from the
 # cross band join only — the single-occurrence FROM rewrite keeps the sig /
-# band fragments byte-identical to the registered neardup's
+# band fragments byte-identical to the registered neardup's. BOTH strata
+# are capped against the STORED index's hot set (shingles with df > half
+# the stored corpus): a production index carries its df stats, so the cap
+# is free at probe time, and without it one boilerplate shingle collapses
+# the existing×delta band join onto 0.9n × 0.1n pairs — the r6 quadratic,
+# cross-stratum edition.
 _MINHASH_INCR_ORACLE = (
-    "WITH she AS ("
+    "WITH she0 AS ("
     + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 0")
-    + "), shd AS ("
+    + "), shd0 AS ("
     + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 10 = 0")
-    + "), sige AS (" + _MINHASH_SIG_SQL.replace("FROM sh ", "FROM she ")
+    + "), ne AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 0), "
+    "hot AS (SELECT f.sh FROM (SELECT sh, count(*) AS df FROM she0 "
+    "  GROUP BY sh) f, ne WHERE f.df * 2 > ne.n), "
+    "she AS MATERIALIZED (SELECT s.doc_id, s.sh FROM she0 s "
+    "  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)), "
+    "shd AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shd0 s "
+    "  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)), "
+    "sige AS (" + _MINHASH_SIG_SQL.replace("FROM sh ", "FROM she ")
     + "), sigd AS (" + _MINHASH_SIG_SQL.replace("FROM sh ", "FROM shd ")
     + "), bandse AS (" + _MINHASH_BANDS_SQL.replace("FROM sig", "FROM sige")
     + "), bandsd AS (" + _MINHASH_BANDS_SQL.replace("FROM sig", "FROM sigd")
@@ -1680,12 +1705,31 @@ def minhash_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     processing the new 100 GB. At scale the stored band table is bucketed
     by (band, x, y), making the probe a co-located join; the streaming twin
     (streaming_neardup_dedup) is the same probe with band-bucket state.
+
+    Hot-key safety: both strata are capped against the STORED corpus's
+    ubiquitous shingles (df > n_existing/2 — a production index already
+    carries its df stats, so the cap is free at probe time; here it is one
+    aggregate over the existing stratum feeding a bounded broadcast,
+    checkpointed like doc_shingles_capped's hot set). Without it, one
+    boilerplate shingle funnels most of BOTH strata into a single band
+    bucket and the cross join goes to 0.9n × 0.1n pairs — the exact
+    failure the r6 scale curve caught, cross-stratum edition.
     Reference anchor: the hash-PK probe of new chunks against the stored
     hash table (lib/hash.ex:81-103) lifted from exact to near-dup.
     """
     sh = doc_shingles(spark, sf_dir)
-    she = sh.filter(F.pmod("doc_id", F.lit(10)) != 0)  # the stored corpus
-    shd = sh.filter(F.pmod("doc_id", F.lit(10)) == 0)  # today's delta
+    she0 = sh.filter(F.pmod("doc_id", F.lit(10)) != 0)  # the stored corpus
+    shd0 = sh.filter(F.pmod("doc_id", F.lit(10)) == 0)  # today's delta
+    n_exist = _documents_mod_count(spark, sf_dir)
+    hot = (
+        she0.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") * 2 > F.lit(n_exist))
+        .select("sh")
+        .localCheckpoint(eager=False)
+    )
+    she = she0.join(broadcast(hot), "sh", "left_anti")
+    shd = shd0.join(broadcast(hot), "sh", "left_anti")
     bands_e = minhash_bands(she).select(
         F.col("doc_id").alias("corpus_doc"), "band", "x", "y"
     )
