@@ -17,6 +17,30 @@ from sabd_deduplicator_spark.streaming.dedup_stream import (
 )
 
 
+def test_scratch_root_env_contract(monkeypatch, tmp_path):
+    """scratch_root (tmpfs checkpoint routing, r7): honors
+    SPARK_GRAFT_SCRATCH, disables on =0, falls back to /dev/shm when
+    usable, and returns None (→ tempfile default) when nothing is usable —
+    the env contract every drain's checkpoint placement rides on."""
+    from sabd_deduplicator_spark.streaming.registered import scratch_root
+
+    d = str(tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", d)
+    assert scratch_root() == d
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", "0")
+    assert scratch_root() is None
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "missing"))
+    # a missing override falls through to /dev/shm (or None if absent)
+    import os
+
+    expect = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ) else None
+    assert scratch_root() == expect
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH")
+    assert scratch_root() == expect
+
+
 @pytest.fixture(scope="module")
 def docs_stream_dir(spark, sf_dir, tmp_path_factory):
     """documents split across several files so multiple micro-batches fire."""
