@@ -689,6 +689,88 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _funnel_report(table(spark, sf_dir, "documents"))
 
 
+# the (min_tokens, min_stop_pct) calibration grid quality_gate_sweep walks;
+# max_tokens stays at the funnel's 90 so the sweep varies ONE axis pair
+_GATE_GRID = ((10, 0), (10, 5), (10, 10), (20, 0), (20, 5), (20, 10),
+              (40, 0), (40, 5), (40, 10))
+
+
+@query(
+    "quality_gate_sweep",
+    oracle=(
+        "WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "  AS n_tok, "
+        "  CAST(len(list_filter(string_split(text, ' '), "
+        "    x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', "
+        "    'on', 'for', 'with'], x))) AS BIGINT) AS n_stop "
+        "  FROM documents) "
+        + " UNION ALL ".join(
+            f"SELECT {mt} AS min_tokens, {sp} AS min_stop_pct, "
+            "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+            "CAST(sum(CASE WHEN pass THEN n_tok ELSE 0 END) AS BIGINT) "
+            "  AS tokens_pass FROM (SELECT n_tok, "
+            f"  (n_tok BETWEEN {mt} AND 90 AND 100 * n_stop >= {sp} * n_tok) "
+            "  AS pass FROM d) "
+            # empty-corpus alignment: Spark's KEYED groupBy emits 0 rows on
+            # empty input; a global aggregate emits 1 NULL row without this
+            "HAVING count(*) > 0"
+            for mt, sp in _GATE_GRID
+        )
+    ),
+)
+def quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-GATE calibration sweep — minhash_band_tuning's
+    philosophy applied to the funnel's filter knobs: for every
+    (min_tokens, min_stop_pct) combination in _GATE_GRID (max_tokens fixed
+    at the funnel's 90), how many documents survive and how many training
+    tokens they yield. This is the measurement a corpus designer runs
+    BEFORE committing gate thresholds to a 100-TB build: each row is a
+    point on the docs-vs-quality frontier, and the token yield is the
+    budget consequence of tightening a knob.
+
+    Shape: the per-doc (n_tok, n_stop) pair is computed ONCE in a single
+    scan; a 9-element literal explode then feeds one hash aggregate whose
+    map-side combine collapses each partition to ≤ 9 rows before the
+    shuffle — sweep cost is the one corpus scan regardless of grid size
+    (same integer-arithmetic gates as corpus_build_funnel: no float
+    compares)."""
+    from sabd_deduplicator_spark.operators.text import STOPWORDS
+
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = with_tokens(table(spark, sf_dir, "documents")).select(
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.expr(
+            f"CAST(size(filter(tokens, x -> array_contains({stop_arr}, x))) AS LONG)"
+        ).alias("n_stop"),
+    )
+    combos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(mt).alias("min_tokens"),
+                    F.lit(sp).alias("min_stop_pct"),
+                )
+                for mt, sp in _GATE_GRID
+            ]
+        )
+    ).alias("g")
+    ok = (
+        F.col("n_tok").between(F.col("g.min_tokens"), 90)
+        & (100 * F.col("n_stop") >= F.col("g.min_stop_pct") * F.col("n_tok"))
+    )
+    return (
+        d.select("n_tok", "n_stop", combos)
+        .groupBy(
+            F.col("g.min_tokens").alias("min_tokens"),
+            F.col("g.min_stop_pct").alias("min_stop_pct"),
+        )
+        .agg(
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.when(ok, F.col("n_tok")).otherwise(0)).alias("tokens_pass"),
+        )
+    )
+
+
 def _funnel_report(docs: DataFrame) -> DataFrame:
     """Per-lang survivorship funnel over a (doc_id, lang, text, ...)
     relation — the Spark twin of _funnel_ctes, shared by the plain and the

@@ -81,6 +81,8 @@ SUBSET = [
     "corpus_build_funnel_cut",
     # r7: delta-vs-stored-index near-dup probe
     "minhash_incremental_delta",
+    # r7: gate-threshold calibration sweep
+    "quality_gate_sweep",
 ]
 
 
