@@ -203,6 +203,16 @@ def build_training_corpus(
     count recomputed on it) and the per-language survivorship funnel. All
     stages are narrow transforms + two linear shuffles (the span window and
     the reassembly aggregate); nothing touches the driver.
+
+    Cost note (cut_repeated_spans=True): cut_census and the main clean_docs/
+    report pipeline are SEPARATE actions over the same exactsubstr_cut
+    lineage, so the stride-1 window explode + hash shuffle (the heaviest
+    stage) is recomputed once per consumed output. That is deliberate: the
+    cut relation is corpus-sized, and this engine's checkpoint discipline is
+    to pin only TINY derived sets (hot shingles, cluster caches) — a
+    production run that consumes several outputs should write clean_docs to
+    a parquet sink once and read the outputs from there, not cache 100 TB
+    in executor storage.
     """
     from sabd_deduplicator_spark.operators.llm_pipeline import (
         exactsubstr_cut,

@@ -413,9 +413,10 @@ def repeated_spans(w: DataFrame) -> DataFrame:
     duplicate spans from a stride-1 window relation — the shared core of
     repeated_span_extract (registered) and exactsubstr_cut (the api cut
     stage). Spans within one document are DISJOINT AND NON-ADJACENT by
-    construction (a new island needs a position gap > W, so consecutive
-    spans are separated by ≥ 2 uncertified chars) — the property the cut
-    stage's complement-concatenation relies on."""
+    construction (a new island needs a position gap i - prev_i > W, so the
+    next span_start ≥ prev span_end + 2 — at least ONE uncertified char
+    between consecutive spans); the cut stage's complement-concatenation
+    only relies on disjointness."""
     hot = (
         w.groupBy("h")
         .agg(F.count("*").alias("c"))

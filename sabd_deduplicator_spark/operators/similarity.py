@@ -1604,20 +1604,39 @@ def doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides, ...) and Catalyst would replicate a count-join into every one
     (6 BNLJs in the audited plan); a literal keeps each branch a plain
     filter + reusable broadcast-anti-join exchange."""
-    sh0 = doc_shingles(spark, sf_dir)
-    n_docs = _documents_count(spark, sf_dir)
-    dfrel = sh0.groupBy("sh").agg(F.count("*").alias("df"))
-    # checkpoint ONLY the hot set (provably ≤ 2·avg-shingles rows): the
-    # capped relation feeds many plan branches, and without this each branch
-    # re-pays the full df-aggregate SHUFFLE; with it, branch recompute is
-    # map-only (scan → explode → broadcast anti-join) — the shape that still
-    # works when the shingle relation itself is too big to materialize
-    hot = (
-        dfrel.filter(F.col("df") * 2 > F.lit(n_docs))
-        .select("sh")
-        .localCheckpoint(eager=False)
+    return doc_shingles(spark, sf_dir).join(
+        broadcast(_hot_shingles(spark, sf_dir)), "sh", "left_anti"
     )
-    return sh0.join(broadcast(hot), "sh", "left_anti")
+
+
+_HOT_SHINGLES_MEMO: dict = {}
+
+
+def _hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed ubiquitous-shingle set (df > n_docs/2), memoized per
+    (application, source staleness token) like _RECALL_MEMO — both
+    minhash_lsh_neardup_capped and minhash_band_tuning consume it in one
+    session, and without the memo each caller re-paid the df aggregate AND
+    re-pinned a duplicate checkpoint (ADVICE r7).
+
+    Checkpoint ONLY the hot set (provably ≤ 2·avg-shingles rows): the capped
+    relation feeds many plan branches, and without this each branch re-pays
+    the full df-aggregate SHUFFLE; with it, branch recompute is map-only
+    (scan → explode → broadcast anti-join) — the shape that still works when
+    the shingle relation itself is too big to materialize."""
+    key = (spark.sparkContext.applicationId, source_token(sf_dir, "documents"))
+    if key not in _HOT_SHINGLES_MEMO:
+        evict_dead_app_entries(_HOT_SHINGLES_MEMO, key[0])
+        n_docs = _documents_count(spark, sf_dir)
+        _HOT_SHINGLES_MEMO[key] = (
+            doc_shingles(spark, sf_dir)
+            .groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") * 2 > F.lit(n_docs))
+            .select("sh")
+            .localCheckpoint(eager=False)
+        )
+    return _HOT_SHINGLES_MEMO[key]
 
 
 _DOCS_COUNT_MEMO: dict = {}

@@ -97,9 +97,12 @@ def capture_precheckpoint_plans(on: bool) -> None:
         _ORIG_LOCAL_CHECKPOINT = ClassicDataFrame.localCheckpoint
         orig = _ORIG_LOCAL_CHECKPOINT
 
-        def _capturing_local_checkpoint(self, eager: bool = True):
+        def _capturing_local_checkpoint(self, *args, **kwargs):
+            # Forward verbatim: PySpark 4.1's classic localCheckpoint also
+            # accepts storageLevel, and pinning (self, eager) here would make
+            # any such call crash only while an audit has capture on.
             _PRECHECKPOINT_PLANS.append(formatted_plan(self))
-            return orig(self, eager=eager)
+            return orig(self, *args, **kwargs)
 
         ClassicDataFrame.localCheckpoint = _capturing_local_checkpoint
     elif not on and _ORIG_LOCAL_CHECKPOINT is not None:

@@ -48,6 +48,17 @@ def scratch_root() -> str | None:
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env == "0":
         return None
+    if env and not (os.path.isdir(env) and os.access(env, os.W_OK)):
+        # An EXPLICIT override that doesn't work is a user misconfiguration
+        # (typo'd path, missing mount) — silently falling through to /dev/shm
+        # would hide it (ADVICE r7). Warn loudly but keep the drain working.
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_SCRATCH={env!r} is not a writable directory; "
+            "falling back to /dev/shm",
+            stacklevel=2,
+        )
     for cand in ([env] if env else []) + ["/dev/shm"]:
         if cand and os.path.isdir(cand) and os.access(cand, os.W_OK):
             return cand

@@ -30,13 +30,18 @@ def test_scratch_root_env_contract(monkeypatch, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", "0")
     assert scratch_root() is None
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path / "missing"))
-    # a missing override falls through to /dev/shm (or None if absent)
+    # a missing override falls through to /dev/shm (or None if absent) but
+    # WARNS — a typo'd explicit override must not pass silently (ADVICE r7)
     import os
+    import warnings
 
     expect = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
         "/dev/shm", os.W_OK
     ) else None
-    assert scratch_root() == expect
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert scratch_root() == expect
+    assert any("SPARK_GRAFT_SCRATCH" in str(w.message) for w in caught)
     monkeypatch.delenv("SPARK_GRAFT_SCRATCH")
     assert scratch_root() == expect
 
