@@ -484,9 +484,15 @@ def doc_shingles(spark: SparkSession, sf_dir: str, key: str = "doc_id") -> DataF
     catalog.spread_if_narrow — no-op on a real multi-split corpus)."""
     from sabd_deduplicator_spark.catalog import spread_if_narrow
 
-    d = spread_if_narrow(table(spark, sf_dir, "documents")).withColumn(
-        "s", F.split("text", " ")
-    )
+    return shingles_of(spread_if_narrow(table(spark, sf_dir, "documents")), key)
+
+
+def shingles_of(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Same per-document-distinct bigram shingling over an arbitrary
+    (key, text, ...) DataFrame — the relation form doc_shingles wraps, used
+    by the persisted index builder (operators/minhash_index.py) whose input
+    strata are not whole tables."""
+    d = docs.withColumn("s", F.split("text", " "))
     sh = F.expr(
         "array_distinct(CASE WHEN size(s) < 2 THEN array() "
         "ELSE transform(sequence(0, size(s) - 2), i -> concat(s[i], ' ', s[i+1])) END)"

@@ -50,6 +50,7 @@ def load_all_queries() -> None:
         encoded_file,
         llm_pipeline,
         lookups,
+        minhash_index,
         multimodal,
         relational,
         similarity,

@@ -36,18 +36,29 @@ def overwrite_parquet(
 
 
 def save_bucketed_table(
-    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str | list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
 ) -> None:
-    """Persist bucketed by the join key: two tables bucketed the same way
+    """Persist bucketed by the join key(s): two tables bucketed the same way
     join with ZERO shuffle — the scalable stand-in for the reference's index
-    B-tree. (Requires a warehouse-backed catalog; saveAsTable, not path.)"""
-    (
+    B-tree. ``bucket_col`` may be a composite key (list), e.g. the MinHash
+    band key (band, x, y). Bucket metadata lives in the session catalog, so
+    this is saveAsTable, not a bare path write; pass ``path`` to make it an
+    EXTERNAL table whose data files land at a caller-chosen directory
+    (index builds use a scratch dir, keeping the warehouse dir clean)."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = (
         df.write.mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
+        .bucketBy(n_buckets, cols[0], *cols[1:])
+        .sortBy(cols[0], *cols[1:])
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 FORMATS = ("parquet", "orc", "json", "csv")

@@ -79,6 +79,7 @@ SUBSET = [
     "corpus_zipf_slope",       # r6: double regression aggregates + rank window
     "corpus_build_funnel_cut", # r7: ExactSubstr cut + funnel over the cut corpus
     "minhash_incremental_delta",  # r7: cross-stratum band probe + verify
+    "minhash_index_probe",  # r8: probe of the PERSISTED bucketed band index
     "quality_gate_sweep",      # r7: 9-combo literal explode + integer gates
 ]
 

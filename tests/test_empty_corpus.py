@@ -81,6 +81,7 @@ SUBSET = [
     "corpus_build_funnel_cut",
     # r7: delta-vs-stored-index near-dup probe
     "minhash_incremental_delta",
+    "minhash_index_probe",
     # r7: gate-threshold calibration sweep
     "quality_gate_sweep",
 ]
