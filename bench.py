@@ -80,6 +80,34 @@ def _host_canary(spark) -> dict[str, float]:
     }
 
 
+# Clean-host canary levels, the medians of the best observed pins (rounds
+# 3-6 PERF.md: md5 0.104-0.121, matmul 0.110-0.139, spark 0.153-0.228).
+# A matmul reading >1.5x nominal means an external tenant is stealing
+# memory bandwidth / cores (r7: matmul 0.809 = 5.8x while md5 stayed
+# nominal — I/O-or-bandwidth disturbance, not CPU clock), and per-query
+# medians from such a window must not be trusted as a regression baseline.
+CANARY_NOMINAL = {
+    "python_md5_sec": 0.11,
+    "numpy_matmul_sec": 0.14,
+    "spark_cpu_sec": 0.21,
+}
+DISTURBED_X = 1.5
+
+
+def _disturbed(*canaries: dict[str, float]) -> bool:
+    """True when ANY canary sample (start or end of run — disturbance can
+    arrive mid-run) shows matmul above the gate. matmul is the criterion
+    because it is the probe that tracks the shared-host resource (memory
+    bandwidth) that actually moved in every observed disturbance; md5 stays
+    nominal on a noisy host and spark_cpu partially self-corrects via
+    scheduling."""
+    return any(
+        c["numpy_matmul_sec"]
+        > DISTURBED_X * CANARY_NOMINAL["numpy_matmul_sec"]
+        for c in canaries
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_label = Path(sf_dir).name.removeprefix("sf")
@@ -118,6 +146,21 @@ def main() -> None:
     # ALL runs is reported alongside so the headline stays honest.
     canary = _host_canary(spark)
     print(f"bench: host canary {canary}", file=sys.stderr)
+    if _disturbed(canary):
+        print(
+            "bench: WARNING host canary is DISTURBED (matmul "
+            f"{canary['numpy_matmul_sec']} > {DISTURBED_X}x nominal "
+            f"{CANARY_NOMINAL['numpy_matmul_sec']}) — per-query medians from "
+            "this run are not a trustworthy regression baseline",
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_CLEAN"):
+            # local re-pin workflow: refuse outright rather than emit a
+            # detail file someone might later diff against. The driver's
+            # per-round run never sets this — it must always get its line,
+            # stamped `disturbed` instead.
+            print("bench: SPARK_GRAFT_BENCH_REQUIRE_CLEAN set; refusing to pin")
+            sys.exit(3)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
@@ -155,6 +198,14 @@ def main() -> None:
             per_query_runs[name] = []
             spark.sparkContext._jvm.System.gc()
 
+    # End-of-run canary: a tenant arriving MID-run disturbs the later
+    # queries while the start canary looks clean — both samples gate.
+    canary_end = _host_canary(spark)
+    print(f"bench: host canary (end of run) {canary_end}", file=sys.stderr)
+    disturbed = _disturbed(canary, canary_end)
+    if disturbed:
+        print("bench: run stamped disturbed=true", file=sys.stderr)
+
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail = {
         "metric": "total_query_median_seconds",
@@ -167,6 +218,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(per_query),
         "host_canary": canary,
+        "host_canary_end": canary_end,
+        "canary_nominal": CANARY_NOMINAL,
+        "disturbed": disturbed,
     }
     detail_path.write_text(json.dumps(detail, indent=1, sort_keys=True) + "\n")
 
@@ -190,6 +244,7 @@ def main() -> None:
             "n_failed": len(failed),
             "failed": failed[:10],
             "host_canary": canary,
+            "disturbed": disturbed,
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),

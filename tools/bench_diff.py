@@ -46,6 +46,18 @@ def host_ratio(old: dict, new: dict) -> tuple[float, str]:
 def diff(old: dict, new: dict, threshold: float = 1.3) -> dict:
     ratio, how = host_ratio(old, new)
     warning = None
+    for label, d in (("OLD", old), ("NEW", new)):
+        if d.get("disturbed"):
+            # bench.py stamps the flag when a canary sample exceeds the
+            # clean-host gate; a disturbed pin is demonstrably NOT a
+            # regression baseline (r7: same code read 2.50 s vs 11.37 s on
+            # one query across two same-round runs).
+            print(
+                f"WARNING: {label} file is stamped disturbed=true — its "
+                "medians were taken under host disturbance; adjudicate "
+                "flags with tools/repin_wobble.py --diff, not this output.",
+                file=sys.stderr,
+            )
     if how != "canary" and not (0.85 <= ratio <= 1.15):
         # The fallback estimator ASSUMES any uniform shift is host speed —
         # which silently normalizes away a genuine uniform regression
