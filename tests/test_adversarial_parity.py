@@ -80,6 +80,7 @@ SUBSET = [
     "corpus_build_funnel_cut", # r7: ExactSubstr cut + funnel over the cut corpus
     "minhash_incremental_delta",  # r7: cross-stratum band probe + verify
     "minhash_index_probe",  # r8: probe of the PERSISTED bucketed band index
+    "streaming_dedup_eviction_audit",  # r8: watermark-protocol simulation oracle
     "quality_gate_sweep",      # r7: 9-combo literal explode + integer gates
 ]
 

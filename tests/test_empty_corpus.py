@@ -82,6 +82,7 @@ SUBSET = [
     # r7: delta-vs-stored-index near-dup probe
     "minhash_incremental_delta",
     "minhash_index_probe",
+    "streaming_dedup_eviction_audit",
     # r7: gate-threshold calibration sweep
     "quality_gate_sweep",
 ]

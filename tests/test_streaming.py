@@ -269,3 +269,72 @@ def test_stream_outer_attribution_deterministic_and_consistent(spark, sf_dir):
     assert all(pts[i] < w for i in n1), (
         "a NULL-click emission sits at/after the final watermark"
     )
+
+
+def test_eviction_audit_state_actually_evicts(spark, sf_dir, built_queries):
+    """streaming_dedup_eviction_audit's claim is that the watermark BOUNDS
+    state: drain the same stream with a progress handle and assert rows
+    were physically removed from the state store mid-drain, the end-state
+    is strictly below the total distinct-key count, and the emitted rows
+    equal the registered query's (same staging memo → same batches)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sabd_deduplicator_spark.streaming.registered import (
+        _stage_events_dedup_sliced,
+        eviction_audit_stream,
+    )
+
+    name = "evict_probe_sink"
+    ckpt = tempfile.mkdtemp(prefix="evict_probe_ckpt_")
+    q = (
+        eviction_audit_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in progress
+        for so in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted any state row"
+    end_state = [
+        so["numRowsTotal"] for p in progress for so in p["stateOperators"]
+    ][-1]
+    staged = _stage_events_dedup_sliced(spark, sf_dir)
+    n_keys = (
+        spark.read.parquet(staged)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert end_state < n_keys, (
+        f"state ({end_state}) not bounded below distinct keys ({n_keys})"
+    )
+
+    got = {
+        tuple(r)
+        for r in spark.table(name)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        )
+        .collect()
+    }
+    want = {
+        tuple(r) for r in built_queries("streaming_dedup_eviction_audit").collect()
+    }
+    assert got == want and len(want) > 0
+    # eviction visibly changes the answer vs the no-eviction regime:
+    # at least one key re-emitted after its state expired
+    assert len(want) > len({(u, e) for u, e, _ in want}), (
+        "no re-emission observed — delay too large to demonstrate eviction"
+    )
