@@ -38,10 +38,13 @@ exist precisely so a rebuild monitor can cheaply diff them against a fresh
 sample and decide when that is.
 
 At 100 TB: the band table is the only corpus-sized artifact touched per
-probe, and it is never shuffled or rewritten — appends add bucket files,
-probes read buckets matched to the delta's band keys. Bucket-file
-accretion is the same small-files problem every incremental sink has;
-sources.writers.compact_parquet is the maintenance answer.
+probe, and it is never shuffled or rewritten per ingest — appends add
+bucket files, probes read buckets matched to the delta's band keys.
+Bucket-file accretion is the small-files problem every incremental sink
+has; :func:`compact_minhash_index` is the maintenance answer (a plain
+size-based rewrite would destroy the bucket layout, so compaction goes
+through the same bucketed writer and swaps via the catalog).
+:func:`probe_and_ingest` composes the whole nightly transaction.
 """
 
 from __future__ import annotations
@@ -311,3 +314,115 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("doc_id", F.lit(10)) == 0
     )
     return probe_minhash_index(spark, idx, delta)
+
+
+def compact_minhash_index(spark: SparkSession, idx: MinHashIndex) -> dict:
+    """Bucket-PRESERVING compaction of an appended index — the maintenance
+    pass the append path makes necessary: every append_to_minhash_index
+    adds one file set per bucket, and at 100 TB millions of small bucket
+    files dominate scan planning. Plain compact_parquet would repartition
+    by size and DESTROY the bucket layout (bucketing lives in the catalog
+    metadata plus per-file bucket suffixes, not the data), so the band
+    table is rewritten THROUGH THE SAME bucketed writer — one shuffle of
+    the index into exactly n_buckets files — staged as a sibling table,
+    row-verified BEFORE the swap, then swapped by a catalog DROP + RENAME
+    (the instant between them is the same single-writer maintenance window
+    compact_parquet documents; a crash before the DROP leaves the live
+    table untouched). Shingle/size components are plain directories and
+    reuse compact_parquet's stage-verify-swap as-is.
+
+    Returns {"files_before": int, "files_after": int} for the band table."""
+    import glob
+    import shutil
+    import uuid
+
+    from sabd_deduplicator_spark.sources.writers import (
+        compact_parquet,
+        save_bucketed_table,
+    )
+
+    def _band_location() -> str:
+        # resolve the CURRENT location from the catalog — after a prior
+        # compaction it is no longer the build-time bands/ directory
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {idx.table_name}")
+            .filter(F.col("col_name") == "Location")
+            .first()["data_type"]
+        )
+        return loc.removeprefix("file:")
+
+    def _band_files() -> list[str]:
+        return glob.glob(os.path.join(_band_location(), "*.parquet"))
+
+    live_location = _band_location()
+    before = _band_files()
+    live_rows = idx.bands(spark).count()
+    staging_name = idx.table_name + "__compact"
+    staging_path = os.path.join(
+        idx.index_dir, f"bands_compact_{uuid.uuid4().hex[:8]}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {staging_name}")
+    # a bucketed write emits one file per (task × bucket it sees) — the
+    # consolidation comes from repartitioning onto the bucket hash first:
+    # repartition(n, cols) and bucket assignment use the same
+    # pmod(murmur3(key), n), so task p holds exactly bucket p and the
+    # rewrite lands at one file per bucket. The rewrite reads the RAW
+    # parquet files, not spark.table(): a bucketed-table scan already
+    # satisfies the hash distribution, so Catalyst would elide the
+    # repartition and pass every small single-bucket file through 1:1 —
+    # exactly the non-compaction observed when this was first written.
+    raw = spark.read.parquet(live_location)  # parquet is self-describing
+    save_bucketed_table(
+        raw.repartition(idx.n_buckets, *BAND_KEY),
+        staging_name,
+        BAND_KEY,
+        n_buckets=idx.n_buckets,
+        path=staging_path,
+    )
+    staged_rows = spark.table(staging_name).count()
+    if staged_rows != live_rows:
+        spark.sql(f"DROP TABLE {staging_name}")
+        shutil.rmtree(staging_path, ignore_errors=True)
+        raise RuntimeError(
+            f"index compaction aborted: staged table has {staged_rows} rows, "
+            f"live has {live_rows}; live table untouched"
+        )
+    spark.sql(f"DROP TABLE {idx.table_name}")  # external: files survive ...
+    spark.sql(f"ALTER TABLE {staging_name} RENAME TO {idx.table_name}")
+    for f in before:  # ... and are deleted here, after the swap landed
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    compact_parquet(spark, idx.shingles_path)
+    compact_parquet(spark, idx.sizes_path)
+    return {"files_before": len(before), "files_after": len(_band_files())}
+
+
+NEARDUP_INGEST_THRESHOLD = 0.5
+
+
+def probe_and_ingest(
+    spark: SparkSession, idx: MinHashIndex, delta_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The nightly ingestion transaction, composed: probe the delta against
+    the stored index, treat any delta doc with a verified near-dup match
+    (jaccard ≥ NEARDUP_INGEST_THRESHOLD, the probe's own bar) as a
+    duplicate of stored content, and APPEND ONLY THE NOVEL DOCS — the
+    reference's deduplicate flow (probe the hash table, store only unseen
+    chunks, lib/deduplicator.ex:84-119) lifted to near-dup granularity.
+
+    Returns (dup_pairs, novel_docs): the probe's verified pairs, and the
+    delta docs that entered the index. The pairs are materialized
+    (localCheckpoint, eager) BEFORE the append so their lineage can never
+    observe the post-append index state. Rebuild-equivalence after the
+    call — index == from-scratch build over stored ∪ novel under the
+    frozen hot set — is pinned in tests/test_minhash_index.py."""
+    pairs = probe_minhash_index(spark, idx, delta_docs).localCheckpoint()
+    novel = delta_docs.join(
+        pairs.select(F.col("delta_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    append_to_minhash_index(spark, idx, novel)
+    return pairs, novel

@@ -147,3 +147,80 @@ def test_append_empty_delta_is_identity(spark, tmp_path):
     append_to_minhash_index(spark, idx, _docs(spark, [], 900))
     assert sorted(map(tuple, idx.bands(spark).collect())) == before
     assert idx.shingles(spark).count() == n_sh
+
+
+def test_compaction_preserves_rows_and_bucket_layout(no_broadcast, tmp_path):
+    """compact_minhash_index must shrink the band table's file count after
+    appends WITHOUT changing its rows or breaking the shuffle-free probe
+    join, and must survive being run twice (the second compaction's staging
+    path must not collide with the now-live location)."""
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
+    spark = no_broadcast
+    idx = build_minhash_index(
+        spark, _docs(spark, _CORPUS), str(tmp_path / "i"), "mh_t_cpt", n_buckets=8
+    )
+    append_to_minhash_index(spark, idx, _docs(spark, _DELTA, 100))
+    append_to_minhash_index(spark, idx, _docs(spark, _DELTA, 200))
+    before_rows = sorted(map(tuple, idx.bands(spark).collect()))
+
+    stats = compact_minhash_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= idx.n_buckets
+    assert sorted(map(tuple, idx.bands(spark).collect())) == before_rows
+
+    # the probe join is still bucket-aligned after the catalog swap
+    _, bands_d = delta_band_shingles(spark, idx, _docs(spark, _DELTA, 300))
+    p = str(tmp_path / "probe_bands")
+    bands_d.write.parquet(p)
+    assert count_exchanges(_probe_fragment(spark, idx, p)) == 1
+
+    # idempotent: a second compaction still verifies and swaps cleanly
+    stats2 = compact_minhash_index(spark, idx)
+    assert stats2["files_after"] <= idx.n_buckets
+    assert sorted(map(tuple, idx.bands(spark).collect())) == before_rows
+    spark.sql("DROP TABLE IF EXISTS mh_t_cpt")
+
+
+def test_probe_and_ingest_appends_only_novel(spark, tmp_path):
+    """The composed nightly transaction: duplicates of stored content are
+    reported, NOT ingested; the post-ingest index equals a from-scratch
+    build over stored ∪ novel under the frozen hot set — the reference's
+    probe-then-store flow at near-dup granularity."""
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        probe_and_ingest,
+    )
+
+    a = _docs(spark, _CORPUS)
+    idx = build_minhash_index(
+        spark, a, str(tmp_path / "a"), "mh_t_ing", n_buckets=8
+    )
+    # delta: one exact copy of a stored doc (a near-dup hit) + one novel doc
+    delta = _docs(spark, _DELTA, 100)
+    pairs, novel = probe_and_ingest(spark, idx, delta)
+    dup_ids = {r.delta_doc for r in pairs.collect()}
+    novel_ids = {r.doc_id for r in novel.select("doc_id").collect()}
+    assert dup_ids and novel_ids
+    assert dup_ids.isdisjoint(novel_ids)
+    assert dup_ids | novel_ids == {100, 101}
+
+    novel_docs = delta.filter(F.col("doc_id").isin(*novel_ids))
+    idx_ref = build_minhash_index(
+        spark,
+        a.unionByName(novel_docs),
+        str(tmp_path / "ref"),
+        "mh_t_ing_ref",
+        n_buckets=8,
+        hot=idx.hot(spark),
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(idx.bands(spark)) == rows(idx_ref.bands(spark))
+    assert rows(idx.shingles(spark)) == rows(idx_ref.shingles(spark))
+    assert rows(idx.sizes(spark)) == rows(idx_ref.sizes(spark))
+    for t in ("mh_t_ing", "mh_t_ing_ref"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
