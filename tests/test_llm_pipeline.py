@@ -704,3 +704,71 @@ def test_census_fast_path_equals_md5_census(spark, sf_dir, tmp_path):
     want = slow(spark, d).collect()
     assert got == want
     assert got[0]["n_crossdoc_windows"] > 0  # the pathology actually fires
+
+
+def test_fp_spans_and_flags_equal_md5_path(spark, sf_dir, tmp_path):
+    """The span consumers now run on the xxhash64 window relation
+    (_fp_positions_df). Since they use window keys for EQUALITY only,
+    their outputs must be row-identical to the md5 relation's — for the
+    maximal-span extraction (what exactsubstr_cut and the cut funnel
+    consume) and the doc-level flags, on the real corpus AND the
+    reference's 64-byte duplication pathology
+    (test/deduplicator_test.exs:115-138)."""
+    from sabd_deduplicator_spark.operators.llm_pipeline import (
+        _fp_positions_df,
+        _stride1_windows_df,
+        repeated_spans,
+    )
+
+    def spans_sorted(w):
+        return repeated_spans(w).orderBy("doc_id", "span_id").collect()
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert spans_sorted(_fp_positions_df(docs)) == spans_sorted(
+        _stride1_windows_df(docs)
+    )
+
+    pat = "0123456789abcdef" * 4
+    pdocs = spark.createDataFrame(
+        [
+            (0, pat + "tail one " + pat),
+            (1, "prefix " + pat + " suffix"),
+            (2, "entirely unique text body " * 4),
+            (3, "short"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = spans_sorted(_fp_positions_df(pdocs))
+    assert got == spans_sorted(_stride1_windows_df(pdocs))
+    assert len(got) >= 3  # both docs 0/1 carry certified spans
+
+    # flags: the registered (fp) query vs the md5-relation rebuild of the
+    # same aggregate
+    flags = registry.QUERIES["doc_repeated_substring_flags"]
+    w = _stride1_windows_df(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    hot = (
+        w.groupBy("h").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2).select("h")
+    )
+    per = w.groupBy("doc_id").agg(F.count("*").alias("n_pos"))
+    rep = (
+        w.join(hot, "h", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("n_rep"))
+    )
+    from sabd_deduplicator_spark.operators.llm_pipeline import SUBSTR_FLAG_MIN
+
+    ratio = F.col("n_rep").cast("double") / F.col("n_pos")
+    want = (
+        per.join(rep, "doc_id", "left")
+        .withColumn("n_rep", F.coalesce("n_rep", F.lit(0)))
+        .filter(ratio >= SUBSTR_FLAG_MIN)
+        .select(
+            "doc_id", "n_pos", "n_rep", F.round(ratio, 6).alias("rep_ratio")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert flags(spark, sf_dir).orderBy("doc_id").collect() == want
