@@ -1265,3 +1265,65 @@ def streaming_dedup_eviction_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle=(
+        "SELECT c.c_mktsegment AS segment, "
+        "strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_start, "
+        "CAST(count(*) AS BIGINT) AS n, " + dsum_sql("e.value") + " AS total_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY 1, 2"
+    ),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the 13th drain and the one enrichment shape the
+    drain family lacked: a fact stream joined per micro-batch against a
+    static dimension snapshot (events ⋈ customer on the user key), then a
+    tumbling per-segment rollup in complete mode. This is the canonical
+    production enrichment (click stream × user dim): the static side needs
+    NO state — Spark broadcasts the dimension into every micro-batch and
+    the join is stateless, so total state is exactly the windowed
+    aggregate's (windows × segments, bounded), unlike the stream-stream
+    attribution joins whose state is watermark-bounded event history.
+    At 100 TB the static side is the broadcast-dim discipline of the batch
+    FK joins (operators/lookups.py) applied per micro-batch; a dimension
+    too big to broadcast would flip to the persisted bucketed-index probe
+    (streaming_cdc_ingest's pattern). Oracle: the identical batch
+    join+rollup; decimal-exact value sums (dsum) keep the parallel fold
+    bit-identical to DuckDB's serial one."""
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.functions.numeric import dsum
+
+    staged = _stage(
+        table(spark, sf_dir, "events").select("ts", "user_id", "value"),
+        n_files=4,
+        key=f"{sf_dir}:events:ts_user_value:4",
+        src_path=f"{sf_dir}/events.parquet",
+    )
+    src = (
+        spark.readStream.schema("ts timestamp_ntz, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            "segment",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, "complete")

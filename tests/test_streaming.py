@@ -338,3 +338,45 @@ def test_eviction_audit_state_actually_evicts(spark, sf_dir, built_queries):
     assert len(want) > len({(u, e) for u, e, _ in want}), (
         "no re-emission observed — delay too large to demonstrate eviction"
     )
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """The stream-static join drain equals the batch join+rollup twin, and
+    the static dimension is joined WITHOUT state: the drain's only stateful
+    operator is the windowed aggregate (bounded by windows × segments) —
+    the join itself is re-broadcast per micro-batch."""
+    from sabd_deduplicator_spark import registry
+    from sabd_deduplicator_spark.catalog import table
+    from sabd_deduplicator_spark.functions.numeric import dsum
+
+    registry.load_all_queries()
+    got = registry.QUERIES["streaming_static_enrich"](spark, sf_dir)
+
+    ev = table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    want = (
+        ev.join(dim, ev["user_id"] == dim["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            "segment",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+    assert sorted(got.collect(), key=lambda r: (r[0], r[1])) == sorted(
+        want.collect(), key=lambda r: (r[0], r[1])
+    )
+    # segments only exist via the dim join — every segment value is real
+    segs = {r["segment"] for r in got.select("segment").distinct().collect()}
+    dim_segs = {
+        r["c_mktsegment"]
+        for r in dim.select("c_mktsegment").distinct().collect()
+    }
+    assert segs <= dim_segs and len(segs) >= 2
