@@ -155,6 +155,81 @@ def merge_hash_links(existing: DataFrame, new_chunks: DataFrame, **kw) -> DataFr
     )
 
 
+def unmerge_hash_links(
+    existing: DataFrame,
+    deleted_chunks: DataFrame,
+    kept_chunks: DataFrame,
+    chunk_col: str = "chunk",
+    file_col: str = "file_id",
+    line_col: str = "line",
+    algorithm: str = "md5",
+) -> DataFrame:
+    """Incremental DELETE maintenance — the right-to-be-forgotten inverse of
+    merge_hash_links: remove a batch of documents' chunks from a hash_links
+    index WITHOUT rebuilding it. The reference's Postgres model has no
+    delete path at all (lib/deduplicator/hash.ex only inserts and
+    increments); at 100 TB a GDPR erasure cannot afford a corpus rebuild,
+    so the maintenance must be delta-sized.
+
+    Semantics (provably equal to a from-scratch rebuild over the surviving
+    corpus — the registered dedup_forget_docs query's oracle IS that
+    rebuild):
+    - refs_num decreases by the hash's deleted-occurrence count; rows
+      reaching zero are dropped;
+    - a surviving hash whose stored FIRST occurrence lived in a deleted
+      document is REASSIGNED to the minimum surviving (file, line) —
+      min of the packed ordinal, the same plain-long HashAggregate as the
+      build; stored pointers owned by surviving documents are untouched
+      (the stored pointer is the global min, so it remains the min of any
+      superset of survivors that contains it).
+
+    Cost shape: one delta-sized aggregate (deleted occurrences per hash),
+    one broadcast of the deleted FILE ids against the index, and a rescan
+    of the surviving occurrence log RESTRICTED to the affected hashes by
+    an equi-join (kept_chunks is only read where a reassignment is needed
+    — with a bucketed chunk log the probe is co-located). Never O(corpus).
+    """
+    del_hashed = deleted_chunks.withColumn(
+        "hash", content_hash(chunk_col, algorithm)
+    )
+    dec = del_hashed.groupBy("hash").agg(F.count("*").alias("_dec"))
+    deleted_files = deleted_chunks.select(
+        F.col(file_col).alias("_delf")
+    ).distinct()
+    j = (
+        existing.join(dec, "hash", "left")
+        .withColumn("_dec", F.coalesce("_dec", F.lit(0)))
+        .filter(F.col("refs_num") > F.col("_dec"))
+    )
+    marked = j.join(
+        F.broadcast(deleted_files),
+        F.col(file_col) == F.col("_delf"),
+        "left",
+    )
+    survivors_refs = (F.col("refs_num") - F.col("_dec")).alias("refs_num")
+    keep_ptr = marked.filter(F.col("_delf").isNull()).select(
+        "hash", file_col, line_col, survivors_refs
+    )
+    need = marked.filter(F.col("_delf").isNotNull()).select(
+        "hash", survivors_refs
+    )
+    kept_hashed = kept_chunks.withColumn(
+        "hash", content_hash(chunk_col, algorithm)
+    )
+    new_ptr = (
+        kept_hashed.join(need.select("hash"), "hash", "left_semi")
+        .groupBy("hash")
+        .agg(F.min(_packed_ordinal(file_col, line_col)).alias("_first"))
+    )
+    reassigned = need.join(new_ptr, "hash").select(
+        "hash",
+        F.expr(f"shiftright(_first, {_LINE_BITS})").alias(file_col),
+        F.expr(f"_first & {(1 << _LINE_BITS) - 1}").alias(line_col),
+        "refs_num",
+    )
+    return keep_ptr.unionByName(reassigned)
+
+
 def merge_hash_links_onto_index(
     existing: DataFrame, new_links: DataFrame, n_buckets: int | None = None
 ) -> DataFrame:
@@ -297,6 +372,53 @@ def dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("refs_num").alias("total_refs"),
         F.count("*").alias("n_hashes"),
         F.countDistinct("hash").alias("n_distinct"),
+    )
+
+
+FORGET_MOD = 17  # tombstone: doc_id % 17 == 0 (~6% of docs, deterministic)
+
+
+@query(
+    "dedup_forget_docs",
+    oracle=(
+        # The oracle is the FROM-SCRATCH REBUILD over the surviving corpus:
+        # value-hash equality with the Spark side's INCREMENTAL maintenance
+        # is the delete-equals-rebuild theorem, checked per row.
+        "SELECT hash, file_id, line, refs_num FROM ("
+        "  SELECT md5(chunk) AS hash, doc_id AS file_id, line,"
+        "         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, line) AS rn,"
+        "         COUNT(*) OVER (PARTITION BY md5(chunk)) AS refs_num"
+        "  FROM ("
+        + chunks_cte().replace(
+            "FROM documents",
+            f"FROM documents WHERE NOT coalesce((doc_id % {FORGET_MOD}) = 0, FALSE)",
+        )
+        + ")"
+        ") WHERE rn = 1"
+    ),
+)
+def dedup_forget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: erase a deterministic tombstone set
+    (doc_id % FORGET_MOD == 0) from the hash_links index by INCREMENTAL
+    maintenance (unmerge_hash_links) — refcounts decremented, fully-deleted
+    hashes dropped, first-occurrence pointers REASSIGNED to the minimum
+    surviving occurrence when their owner was erased. The oracle rebuilds
+    the index from scratch over the survivors, so parity IS the
+    delete-equals-rebuild equivalence theorem (the deletion twin of the
+    insert-side merge-vs-rebuild test in tests/test_incremental_index.py).
+    The reference cannot do this at all: its Postgres index only inserts
+    and increments (lib/deduplicator/hash.ex:47-102); erasing a file means
+    re-ingesting everything.
+
+    Work is delta-sized, never O(corpus): deleted occurrences aggregate to
+    one delta-shuffle, deleted FILE ids broadcast against the index, and
+    the surviving chunk log is consulted only for hashes whose stored
+    pointer was erased (equi-join restriction)."""
+    chunks = doc_chunks(spark, sf_dir).withColumnRenamed("doc_id", "file_id")
+    tomb = F.expr(f"coalesce((file_id % {FORGET_MOD}) = 0, FALSE)")
+    existing = build_hash_links(chunks)
+    return unmerge_hash_links(
+        existing, chunks.filter(tomb), chunks.filter(~tomb)
     )
 
 

@@ -66,3 +66,52 @@ def test_salted_join_matches_plain(spark):
     pa = plain.groupBy("k").agg(F.sum("v").alias("sv"), F.sum("w").alias("sw"))
     sa = salted.groupBy("k").agg(F.sum("v").alias("sv"), F.sum("w").alias("sw"))
     assert sorted(map(tuple, pa.collect())) == sorted(map(tuple, sa.collect()))
+
+
+def test_unmerge_equals_rebuild_with_reassignment(spark):
+    """Delete-side twin of test_merge_equals_rebuild: unmerging a tombstone
+    batch from the index equals rebuilding over the survivors — on a corpus
+    constructed so every branch fires: a hash fully erased (refs → 0), a
+    hash whose refcount merely drops, a stored pointer REASSIGNED because
+    its owner was erased, and untouched rows."""
+    from sabd_deduplicator_spark.operators.dedup import unmerge_hash_links
+
+    payloads = [
+        "AAAAAAAABBBBBBBB",  # file 0 (DELETED): owns first occ of A and B
+        "BBBBBBBBCCCCCCCC",  # file 1: B must be REASSIGNED here; C untouched
+        "DDDDDDDDAAAAAAAA",  # file 2 (DELETED): A fully erased with 0 and 2
+        "EEEEEEEE",          # file 3: untouched singleton
+    ]
+    chunks = _chunks(spark, payloads)
+    tomb = F.col("file_id").isin(0, 2)
+    existing = build_hash_links(chunks)
+    got = unmerge_hash_links(
+        existing, chunks.filter(tomb), chunks.filter(~tomb)
+    )
+    want = build_hash_links(chunks.filter(~tomb))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    rows = {r["hash"]: r for r in got.collect()}
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert h("AAAAAAAA") not in rows          # fully erased
+    assert h("DDDDDDDD") not in rows          # erased with file 2
+    assert rows[h("BBBBBBBB")]["file_id"] == 1  # reassigned to survivor
+    assert rows[h("BBBBBBBB")]["refs_num"] == 1  # decremented
+    assert rows[h("EEEEEEEE")]["refs_num"] == 1  # untouched
+
+
+def test_unmerge_noop_on_empty_tombstone(spark):
+    """Deleting nothing returns the index unchanged."""
+    from sabd_deduplicator_spark.operators.dedup import unmerge_hash_links
+
+    chunks = _chunks(spark, ["AAAAAAAABBBBBBBB", "BBBBBBBB"])
+    existing = build_hash_links(chunks)
+    got = unmerge_hash_links(
+        existing, chunks.filter("file_id < 0"), chunks
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, existing.collect())
+    )
