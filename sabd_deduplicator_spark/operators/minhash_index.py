@@ -91,6 +91,22 @@ class MinHashIndex:
     def hot_path(self) -> str:
         return os.path.join(self.index_dir, "hot")
 
+    @property
+    def tombstones_path(self) -> str:
+        return os.path.join(self.index_dir, "tombstones")
+
+    def has_tombstones(self) -> bool:
+        """Cheap filesystem check (no Spark job): present iff a forget has
+        happened since the last compaction. Probes skip the anti-joins
+        entirely when False, so the zero-tombstone plan (and its
+        shuffle-free gate) is byte-identical to the pre-deletion one."""
+        import glob
+
+        return bool(glob.glob(os.path.join(self.tombstones_path, "*.parquet")))
+
+    def tombstones(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema("doc_id long").parquet(self.tombstones_path)
+
     def bands(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.table_name)
 
@@ -197,18 +213,32 @@ def probe_minhash_index(
     """Near-dup pairs (delta_doc, corpus_doc, jaccard ≥ 0.5) of a delta
     batch against the STORED index. Work is O(delta sketch) + one bucketed
     equi-join (index side shuffle-free) + O(candidates) exact verify —
-    independent of corpus size except through candidate count."""
+    independent of corpus size except through candidate count.
+
+    Deletion vectors: when forget_from_minhash_index has recorded
+    tombstones since the last compaction, every index component is
+    anti-joined against the (broadcast, delta-sized) tombstone set -- a
+    BroadcastHashJoin on the streamed index side, so the bucketed scan
+    stays exchange-free; with no tombstones the plan is byte-identical to
+    the pre-deletion one (filesystem check, no Spark job)."""
+    bands_e = idx.bands(spark)
+    she = idx.shingles(spark)
+    sizes_e = idx.sizes(spark)
+    if idx.has_tombstones():
+        tomb = broadcast(idx.tombstones(spark).distinct())
+        bands_e = bands_e.join(tomb, "doc_id", "left_anti")
+        she = she.join(tomb, "doc_id", "left_anti")
+        sizes_e = sizes_e.join(tomb, "doc_id", "left_anti")
     shd, bands_d = delta_band_shingles(spark, idx, delta_docs)
     cand = (
         bands_d.select(F.col("doc_id").alias("delta_doc"), *BAND_KEY)
         .join(
-            idx.bands(spark).select(F.col("doc_id").alias("corpus_doc"), *BAND_KEY),
+            bands_e.select(F.col("doc_id").alias("corpus_doc"), *BAND_KEY),
             BAND_KEY,
         )
         .select("delta_doc", "corpus_doc")
         .distinct()
     )
-    she = idx.shingles(spark)
     szd = shd.groupBy("doc_id").agg(F.count("*").alias("nd"))
     inter = (
         cand.join(shd.select(F.col("doc_id").alias("delta_doc"), "sh"), "delta_doc")
@@ -223,7 +253,7 @@ def probe_minhash_index(
     return (
         inter.join(szd.select(F.col("doc_id").alias("delta_doc"), "nd"), "delta_doc")
         .join(
-            idx.sizes(spark).select(
+            sizes_e.select(
                 F.col("doc_id").alias("corpus_doc"), F.col("n").alias("ne")
             ),
             "corpus_doc",
@@ -266,6 +296,31 @@ def append_to_minhash_index(
         .sortBy(BAND_KEY[0], *BAND_KEY[1:])
         .format("parquet")
         .saveAsTable(idx.table_name)
+    )
+
+
+def forget_from_minhash_index(
+    spark: SparkSession, idx: MinHashIndex, doc_ids: DataFrame
+) -> None:
+    """Right-to-be-forgotten for the near-dup index, deletion-vector style:
+    record the erased doc_ids as a tombstone list (one delta-sized parquet
+    append — nothing corpus-sized moves), which probe_minhash_index
+    anti-joins on every read; the rows physically leave the band/shingle/
+    size files at the next compact_minhash_index (exactly Delta's DV +
+    OPTIMIZE split). Correctness is pair-local: removing a corpus doc can
+    neither create nor change any OTHER pair (candidates come from the
+    erased doc's own band rows; each pair's Jaccard uses only that pair's
+    shingles), so probe-after-forget == probe-before minus pairs involving
+    the erased docs — pinned in tests/test_minhash_index.py.
+
+    The frozen hot set is untouched: erasure leaves other docs' stored
+    band keys valid (the cap contract in the module docstring); the stored
+    df stats merely go stale for the rebuild monitor, same as appends."""
+    from sabd_deduplicator_spark.sources.writers import append_parquet
+
+    append_parquet(
+        doc_ids.select(F.col("doc_id").cast("long")).distinct(),
+        idx.tombstones_path,
     )
 
 
@@ -372,6 +427,15 @@ def compact_minhash_index(spark: SparkSession, idx: MinHashIndex) -> dict:
     # repartition and pass every small single-bucket file through 1:1 —
     # exactly the non-compaction observed when this was first written.
     raw = spark.read.parquet(live_location)  # parquet is self-describing
+    # deletion vectors are APPLIED here (the Delta DV + OPTIMIZE split):
+    # tombstoned rows physically leave every component during the rewrite,
+    # and live_rows above was counted on the SAME filtered relation so the
+    # row verification still holds exactly
+    tomb = None
+    if idx.has_tombstones():
+        tomb = broadcast(idx.tombstones(spark).distinct())
+        raw = raw.join(tomb, "doc_id", "left_anti")
+        live_rows = raw.count()
     save_bucketed_table(
         raw.repartition(idx.n_buckets, *BAND_KEY),
         staging_name,
@@ -394,8 +458,18 @@ def compact_minhash_index(spark: SparkSession, idx: MinHashIndex) -> dict:
             os.remove(f)
         except OSError:
             pass
-    compact_parquet(spark, idx.shingles_path)
-    compact_parquet(spark, idx.sizes_path)
+    drop_tomb = (
+        None
+        if tomb is None
+        else (lambda df: df.join(tomb, "doc_id", "left_anti"))
+    )
+    compact_parquet(spark, idx.shingles_path, transform=drop_tomb)
+    compact_parquet(spark, idx.sizes_path, transform=drop_tomb)
+    if tomb is not None:
+        # every component swap has landed with the tombstones applied; the
+        # vector is spent (a crash before this point leaves it in place and
+        # probes keep filtering — never a resurrection)
+        shutil.rmtree(idx.tombstones_path, ignore_errors=True)
     return {"files_before": len(before), "files_after": len(_band_files())}
 
 

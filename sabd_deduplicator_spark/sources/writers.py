@@ -108,7 +108,7 @@ def append_if_absent(
 
 def compact_parquet(
     spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
-    compression: str = "zstd",
+    compression: str = "zstd", transform=None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into files sized
     ~target_file_bytes. Returns the output file count.
@@ -130,7 +130,15 @@ def compact_parquet(
     atomic exchange, so concurrent readers can observe a missing path for the
     instant between the two renames; single-writer maintenance windows (or a
     pointer-file indirection like streaming/index_sink.py's) are the
-    production answer."""
+    production answer.
+
+    `transform` (optional, DataFrame → DataFrame): a deterministic
+    row-level rewrite applied DURING compaction — the deletion-vector
+    pattern (Delta OPTIMIZE applying DVs): logical deletes accumulate as a
+    side list the readers anti-join, and the compaction pass is where rows
+    physically leave the files. Row verification compares the staged copy
+    against the TRANSFORMED live relation, so a transform that drops rows
+    still verifies exactly."""
     import math
     import os
     import shutil
@@ -139,12 +147,15 @@ def compact_parquet(
     src = Path(path).resolve()
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    live_rows = spark.read.parquet(str(src)).count()
+    live = spark.read.parquet(str(src))
+    if transform is not None:
+        live = transform(live)
+    live_rows = live.count()
     staging = src.with_name(src.name + ".compact_staging")
     if staging.exists():
         shutil.rmtree(staging)
     (
-        spark.read.parquet(str(src))
+        live
         .repartition(n_files)
         .write.mode("overwrite")
         .option("compression", compression)

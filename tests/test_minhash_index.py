@@ -224,3 +224,49 @@ def test_probe_and_ingest_appends_only_novel(spark, tmp_path):
     assert rows(idx.sizes(spark)) == rows(idx_ref.sizes(spark))
     for t in ("mh_t_ing", "mh_t_ing_ref"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_forget_filters_probe_and_compaction_applies_dv(no_broadcast, tmp_path):
+    """Deletion vectors: after forget_from_minhash_index, (1) the probe
+    equals probe-before minus pairs involving the erased corpus docs
+    (pair-locality), with the tombstone list present; (2) compaction
+    PHYSICALLY removes the erased docs from every component, clears the
+    vector, keeps the shuffle-free probe join, and leaves probe answers
+    unchanged; (3) with the vector spent, has_tombstones() is False so the
+    probe plan is the pre-deletion one again."""
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        compact_minhash_index,
+        forget_from_minhash_index,
+    )
+
+    spark = no_broadcast
+    idx = build_minhash_index(
+        spark, _docs(spark, _CORPUS), str(tmp_path / "f"), "mh_t_fgt", n_buckets=8
+    )
+    delta = _docs(spark, _DELTA, 100)
+    before = probe_minhash_index(spark, idx, delta).collect()
+    assert before  # the delta's first doc near-dups stored content
+
+    erased = {r.corpus_doc for r in before}  # erase every matched corpus doc
+    assert erased
+    forget_from_minhash_index(
+        spark, idx, spark.createDataFrame([(d,) for d in erased], "doc_id long")
+    )
+    assert idx.has_tombstones()
+    after = probe_minhash_index(spark, idx, delta).collect()
+    want = [r for r in before if r.corpus_doc not in erased]
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+
+    compact_minhash_index(spark, idx)
+    assert not idx.has_tombstones()
+    # physically gone from every component
+    for comp in (idx.bands(spark), idx.shingles(spark), idx.sizes(spark)):
+        assert comp.filter(F.col("doc_id").isin(*erased)).count() == 0
+    # answers unchanged, bucket-aligned join preserved
+    assert sorted(map(tuple, probe_minhash_index(spark, idx, delta).collect())) \
+        == sorted(map(tuple, want))
+    _, bands_d = delta_band_shingles(spark, idx, delta)
+    p = str(tmp_path / "probe_bands_fgt")
+    bands_d.write.parquet(p)
+    assert count_exchanges(_probe_fragment(spark, idx, p)) == 1
+    spark.sql("DROP TABLE IF EXISTS mh_t_fgt")
