@@ -930,6 +930,17 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. R rounds = R corpus passes, embarrassingly parallel —
     at 100 TB this is precisely how a distributed BPE trainer runs, with
     the merge table broadcast each round."""
+    rows = _learn_bpe_rounds(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "round int, sym_a string, sym_b string, n long"
+    ).select(F.col("round").cast("int"), "sym_a", "sym_b", "n")
+
+
+def _learn_bpe_rounds(spark: SparkSession, sf_dir: str) -> list:
+    """The bpe_learn_merges train loop as a helper: returns the learned
+    [(round, sym_a, sym_b, n)] merge table (driver-side — the merge table
+    IS tiny driver state in every real BPE trainer). Shared by the learn
+    query and bpe_encode_vocab (which APPLIES the merges)."""
     from sabd_deduplicator_spark.catalog import spread_if_narrow
 
     sep2_lit = F.lit(_BSEP + _BSEP)
@@ -977,19 +988,114 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b = best["key"].split(_BSEP)
         rows.append((rnd, a, b, int(best["n"])))
-        # no checkpoint: the lineage is seed + r cheap replace projections,
-        # and replaying it beats a per-round materialization job
         st = st.withColumn(
-            "state",
-            F.replace(
-                F.col("state"),
-                F.lit(_BSEP + a + _BSEP + _BSEP + b + _BSEP),
-                F.lit(_BSEP + a + b + _BSEP),
-            ),
+            "state", _bpe_merge_replace(F.col("state"), a, b)
         )
-    return spark.createDataFrame(
-        rows, "round int, sym_a string, sym_b string, n long"
-    ).select(F.col("round").cast("int"), "sym_a", "sym_b", "n")
+    return rows
+
+
+def _bpe_merge_replace(state: F.Column, a: str, b: str) -> F.Column:
+    """One greedy BPE merge application on the delimiter-doubled state
+    encoding (see bpe_learn_merges docstring for why replace() is exact)."""
+    return F.replace(
+        state,
+        F.lit(_BSEP + a + _BSEP + _BSEP + b + _BSEP),
+        F.lit(_BSEP + a + b + _BSEP),
+    )
+
+
+BPE_ENCODE_TOP = 10  # report head: most frequent tokens, tie-break on token
+
+
+def _bpe_encode_oracle() -> str:
+    # the learn chain (s0..sR occurrence states + m1..mR merge picks) is the
+    # learn oracle's; an e-chain threads (t, freq) through the SAME replaces
+    # to encode the DISTINCT vocabulary
+    ctes = ["s0 AS MATERIALIZED (" + _BPE_SEED_SQL + ")"]
+    ctes.append(
+        "e0 AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS freq, "
+        "chr(1)||chr(1) || array_to_string(list_transform("
+        "range(1, length(t)+1), i -> substr(t, CAST(i AS INT), 1)), "
+        "chr(1)||chr(1)) || chr(1)||chr(1) AS state "
+        "FROM (SELECT unnest(string_split(replace(text, chr(1), ''), ' ')) "
+        "AS t FROM documents WHERE text IS NOT NULL) "
+        "WHERE length(t) >= 1 GROUP BY t)"
+    )
+    for r in range(1, BPE_LEARN_ROUNDS + 1):
+        ctes.append(_bpe_round_sql(f"s{r - 1}", f"m{r}", f"s{r}"))
+        key = f"(SELECT key FROM m{r})"
+        a = f"string_split({key}, chr(1))[1]"
+        b = f"string_split({key}, chr(1))[2]"
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT t, freq, "
+            f"CASE WHEN {key} IS NULL THEN state ELSE "
+            f"replace(state, chr(1) || {a} || chr(1)||chr(1) || {b} || chr(1), "
+            f"chr(1) || {a} || {b} || chr(1)) END AS state FROM e{r - 1})"
+        )
+    last = f"e{BPE_LEARN_ROUNDS}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT t AS token, freq, syms AS symbols, "
+        "CAST(len(syms) AS INT) AS n_symbols FROM ("
+        f"  SELECT t, freq, list_filter(string_split(state, chr(1)||chr(1)), "
+        f"  s -> s <> '') AS syms FROM {last}) "
+        f"ORDER BY freq DESC, t LIMIT {BPE_ENCODE_TOP}"
+    )
+
+
+@query("bpe_encode_vocab", oracle=_bpe_encode_oracle())
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merge table — the apply step that
+    completes the tokenizer loop (bpe_first_merges = iteration-0 census,
+    bpe_learn_merges = training, this = encoding): the
+    BPE_LEARN_ROUNDS-round merge table is learned exactly as in
+    bpe_learn_merges, then applied in round order to the DISTINCT
+    vocabulary, reporting the BPE_ENCODE_TOP most frequent tokens with
+    their encoded symbol sequences (the artifact a tokenizer ships). Same
+    delimiter-doubling replace() encoding, so application is greedy-BPE-
+    exact in both engines; the oracle re-derives the merges in SQL and
+    threads (token, freq) through the identical replace chain.
+
+    Scale shape: the learn loop's R corpus passes (the dominant, already-
+    measured cost) plus ONE distinct-vocabulary aggregate and R cheap
+    replace projections over vocabulary-sized data; the report head is a
+    TakeOrderedAndProject. At 100 TB the merge table is tiny driver state
+    broadcast into the encode projection — exactly how a production
+    tokenizer applies its merges."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    merges = _learn_bpe_rounds(spark, sf_dir)
+    sep2 = _BSEP + _BSEP
+    d = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    vocab = (
+        d.select(
+            F.explode(
+                F.split(F.replace(F.col("text"), F.lit(_BSEP), F.lit("")), " ")
+            ).alias("t")
+        )
+        .filter(F.length("t") >= 1)
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    chars = F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+    enc = vocab.withColumn(
+        "state", F.concat(F.lit(sep2), F.array_join(chars, sep2), F.lit(sep2))
+    )
+    for _, a, b, _n in merges:
+        enc = enc.withColumn("state", _bpe_merge_replace(F.col("state"), a, b))
+    syms = F.filter(F.split("state", sep2), lambda x: x != F.lit(""))
+    return (
+        enc.select(
+            F.col("t").alias("token"),
+            "freq",
+            syms.alias("symbols"),
+            F.size(syms).cast("int").alias("n_symbols"),
+        )
+        .orderBy(F.desc("freq"), "token")
+        .limit(BPE_ENCODE_TOP)
+    )
 
 
 ZIPF_TOP_RANKS = 1000  # fit window: the classic head-of-vocabulary fit

@@ -772,3 +772,25 @@ def test_fp_spans_and_flags_equal_md5_path(spark, sf_dir, tmp_path):
         .collect()
     )
     assert flags(spark, sf_dir).orderBy("doc_id").collect() == want
+
+
+def test_bpe_encode_vocab_reconstructs_tokens(spark, sf_dir):
+    """Encoding invariants: for every reported token, the encoded symbols
+    concatenate back to the token exactly (merges never lose characters),
+    n_symbols == len(symbols) <= len(token), and every applied merge's
+    output symbol actually appears somewhere (the merge table did work)."""
+    from sabd_deduplicator_spark.operators.text import (
+        _learn_bpe_rounds,
+        bpe_encode_vocab,
+    )
+
+    rows = bpe_encode_vocab(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert "".join(r["symbols"]) == r["token"]
+        assert r["n_symbols"] == len(r["symbols"]) <= len(r["token"])
+    merges = _learn_bpe_rounds(spark, sf_dir)
+    assert merges  # the corpus has repeated pairs
+    merged_syms = {a + b for _, a, b, _n in merges}
+    seen = {s for r in rows for s in r["symbols"]}
+    assert merged_syms & seen  # at least one learned merge shows up in the head
