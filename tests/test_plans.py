@@ -437,3 +437,22 @@ def test_vocab_coverage_window_sees_only_survivors(spark, sf_dir):
     plan = formatted_plan(q("vocab_coverage_curve", spark, sf_dir))
     assert "Window" in plan
     assert "TakeOrderedAndProject" in plan  # the distributed k-th-value probe
+
+
+def test_merge_plan_windowgrouplimit_and_join_shape(spark, sf_dir):
+    """merge_apply_changes: the changelog top-1 must ride WindowGroupLimit
+    (per-partition top-k BEFORE the exchange — a max-of-struct aggregate
+    would fall onto SortAggregate, checked during development), and the
+    MERGE itself must be exactly one full-outer equi-join — no nested-loop,
+    no extra exchanges beyond the window + join pair."""
+    plan = (
+        q("merge_apply_changes", spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 1
+    assert "SortMergeJoin FullOuter" in plan or (
+        "SortMergeJoin" in plan and "FullOuter" in plan
+    )
+    assert "SortAggregate" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
