@@ -110,6 +110,46 @@ def deduplicate(
     )
 
 
+def forget(
+    result: DedupResult, file_ids: DataFrame, algorithm: str = "md5"
+) -> DedupResult:
+    """Right-to-be-forgotten over a DedupResult: erase the given file_ids
+    (a one-column DataFrame) from every component. The hash_links index is
+    unmerged INCREMENTALLY (refcounts decremented, erased first-occurrence
+    pointers reassigned to the min surviving occurrence;
+    delete-equals-rebuild is the dedup_forget_docs oracle theorem);
+    files/chunks are anti-join filtered. The TOKEN streams are re-encoded
+    over the surviving chunks: surviving pointers may reference a deleted
+    file's stream (the erased file held the first occurrence), so a bare
+    filter would leave dangling pointers — erasure in a content-addressed
+    store must rewrite the files whose encodings point into the erased
+    ones, and the new first-occurrence owners must flip their pointer back
+    to a literal. The re-encode is expressed as the (lazy) survivor encode
+    plan; the physically-affected file set is bounded by pointers into
+    erased streams. The reference has no erasure path at all (its Postgres
+    index only inserts and increments, lib/deduplicator/hash.ex:47-102);
+    recovery of every surviving file stays byte-exact (tested)."""
+    from sabd_deduplicator_spark.operators.dedup import unmerge_hash_links
+
+    ids = file_ids.select(
+        F.col(file_ids.columns[0]).cast("long").alias("file_id")
+    ).distinct()
+    deleted = result.chunks.join(ids, "file_id", "left_semi")
+    kept = result.chunks.join(ids, "file_id", "left_anti")
+    return DedupResult(
+        files=result.files.join(ids, "file_id", "left_anti"),
+        chunks=kept,
+        hash_links=unmerge_hash_links(result.hash_links, deleted, kept),
+        tokens=encode_chunks(
+            kept,
+            file_col="file_id",
+            algorithm=algorithm,
+            pointer_width=result.pointer_width,
+        ),
+        pointer_width=result.pointer_width,
+    )
+
+
 def recover(
     tokens: DataFrame,
     file_col: str = "file_id",

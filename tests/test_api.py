@@ -82,3 +82,38 @@ def test_full_pipeline_roundtrip_cdc(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown chunker"):
         deduplicate(spark, docs, chunker="rolling")
+
+
+def test_api_forget_equals_rededup_of_survivors(spark):
+    """api.forget: the erased result's hash_links equal deduplicate() run on
+    the surviving corpus, recovery still reproduces the surviving documents
+    byte-exactly, and the erased ids are gone from every component."""
+    from sabd_deduplicator_spark import api
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "AAAAAAAABBBBBBBBCCCCCCCC"),
+            (1, "BBBBBBBBDDDDDDDD"),
+            (2, "AAAAAAAAEEEEEEEE"),
+            (3, "FFFFFFFF"),
+        ],
+        "doc_id long, text string",
+    )
+    full = api.deduplicate(spark, docs, chunk_size=8)
+    erased = spark.createDataFrame([(0,), (3,)], "file_id long")
+    got = api.forget(full, erased)
+    want = api.deduplicate(
+        spark, docs.filter(~F.col("doc_id").isin(0, 3)), chunk_size=8
+    )
+    assert sorted(map(tuple, got.hash_links.collect())) == sorted(
+        map(tuple, want.hash_links.collect())
+    )
+    for comp in (got.files, got.chunks, got.tokens):
+        assert comp.filter(F.col("file_id").isin(0, 3)).count() == 0
+    assert sorted(map(tuple, got.tokens.collect())) == sorted(
+        map(tuple, want.tokens.collect())
+    )
+    rec = api.reassemble(api.recover(got.tokens))
+    survived = {r["file_id"]: r["text"] for r in rec.collect()}
+    assert survived == {1: "BBBBBBBBDDDDDDDD", 2: "AAAAAAAAEEEEEEEE"}
