@@ -69,6 +69,12 @@ HEADLINERS = {
         "on l_orderkey) carrying the same-nation residual; one final "
         "aggregate Exchange."
     ),
+    "merge_apply_changes": (
+        "Full MERGE. Expect: WindowGroupLimit (per-partition top-1 "
+        "changelog rows BEFORE the exchange), ONE SortMergeJoin FullOuter "
+        "on the key (full outer cannot broadcast — both unmatched sides "
+        "survive), no SortAggregate, no nested loop."
+    ),
     "ann_jl_rerank_topk": (
         "JL sketch prefilter + exact rerank. Expect: the sketch scores come "
         "from a localCheckpoint scan (memoized per corpus — the projection "
