@@ -1035,7 +1035,7 @@ def _bpe_encode_oracle() -> str:
     last = f"e{BPE_LEARN_ROUNDS}"
     return (
         "WITH " + ", ".join(ctes) + " "
-        "SELECT t AS token, freq, syms AS symbols, "
+        "SELECT t AS token, freq, array_to_string(syms, ' ') AS symbols, "
         "CAST(len(syms) AS INT) AS n_symbols FROM ("
         f"  SELECT t, freq, list_filter(string_split(state, chr(1)||chr(1)), "
         f"  s -> s <> '') AS syms FROM {last}) "
@@ -1086,11 +1086,13 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _, a, b, _n in merges:
         enc = enc.withColumn("state", _bpe_merge_replace(F.col("state"), a, b))
     syms = F.filter(F.split("state", sep2), lambda x: x != F.lit(""))
+    # symbols joined on ' ' (tokens are whitespace-split, so no symbol can
+    # contain a space): scalar output for the driver's canonicalizer
     return (
         enc.select(
             F.col("t").alias("token"),
             "freq",
-            syms.alias("symbols"),
+            F.array_join(syms, " ").alias("symbols"),
             F.size(syms).cast("int").alias("n_symbols"),
         )
         .orderBy(F.desc("freq"), "token")
@@ -1156,7 +1158,8 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  SELECT doc_id, unnest(string_split(text, ' ')) AS token "
         "  FROM documents WHERE text IS NOT NULL)), "
         "d AS (SELECT token, CAST(count(*) AS BIGINT) AS df, "
-        "  (list_sort(list(doc_id)))[1:100] AS postings "
+        "  array_to_string(list_transform((list_sort(list(doc_id)))[1:100], "
+        "  x -> CAST(x AS VARCHAR)), ',') AS postings "
         "  FROM t GROUP BY token) "
         "SELECT token, df, postings FROM d "
         "ORDER BY df DESC, token LIMIT 20"
@@ -1187,10 +1190,16 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
     )
+    # postings emitted as a comma-joined STRING: the driver's canonicalizer
+    # only handles scalar columns (tests/test_registry_contract.py)
     per_term = td.groupBy("token").agg(
         F.count("*").cast("long").alias("df"),
-        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100).alias(
-            "postings"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 100),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
     return per_term.orderBy(F.desc("df"), "token").limit(20)

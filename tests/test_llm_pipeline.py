@@ -787,10 +787,11 @@ def test_bpe_encode_vocab_reconstructs_tokens(spark, sf_dir):
     rows = bpe_encode_vocab(spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
-        assert "".join(r["symbols"]) == r["token"]
-        assert r["n_symbols"] == len(r["symbols"]) <= len(r["token"])
+        syms = r["symbols"].split(" ")
+        assert "".join(syms) == r["token"]
+        assert r["n_symbols"] == len(syms) <= len(r["token"])
     merges = _learn_bpe_rounds(spark, sf_dir)
     assert merges  # the corpus has repeated pairs
     merged_syms = {a + b for _, a, b, _n in merges}
-    seen = {s for r in rows for s in r["symbols"]}
+    seen = {s for r in rows for s in r["symbols"].split(" ")}
     assert merged_syms & seen  # at least one learned merge shows up in the head
