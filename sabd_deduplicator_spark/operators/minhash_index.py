@@ -225,7 +225,10 @@ def probe_minhash_index(
     she = idx.shingles(spark)
     sizes_e = idx.sizes(spark)
     if idx.has_tombstones():
-        tomb = broadcast(idx.tombstones(spark).distinct())
+        # no distinct: anti-join semantics ignore build-side duplicates,
+        # and the distinct would cost a (tombstone-sized) shuffle before
+        # the broadcast; forget() already dedups within each append batch
+        tomb = broadcast(idx.tombstones(spark))
         bands_e = bands_e.join(tomb, "doc_id", "left_anti")
         she = she.join(tomb, "doc_id", "left_anti")
         sizes_e = sizes_e.join(tomb, "doc_id", "left_anti")
@@ -433,7 +436,7 @@ def compact_minhash_index(spark: SparkSession, idx: MinHashIndex) -> dict:
     # row verification still holds exactly
     tomb = None
     if idx.has_tombstones():
-        tomb = broadcast(idx.tombstones(spark).distinct())
+        tomb = broadcast(idx.tombstones(spark))  # no distinct: see probe
         raw = raw.join(tomb, "doc_id", "left_anti")
         live_rows = raw.count()
     save_bucketed_table(

@@ -253,6 +253,20 @@ def test_forget_filters_probe_and_compaction_applies_dv(no_broadcast, tmp_path):
         spark, idx, spark.createDataFrame([(d,) for d in erased], "doc_id long")
     )
     assert idx.has_tombstones()
+    # the tombstone anti-join must NOT cost the index side its
+    # exchange-free scan: an explicit broadcast hash join, no new shuffle
+    # (this fragment includes the anti-join, unlike _probe_fragment)
+    from pyspark.sql.functions import broadcast as _bc
+
+    _, bands_t = delta_band_shingles(spark, idx, delta)
+    pt = str(tmp_path / "probe_bands_tomb")
+    bands_t.write.parquet(pt)
+    d_t = spark.read.parquet(pt)
+    filtered = idx.bands(spark).join(
+        _bc(idx.tombstones(spark)), "doc_id", "left_anti"
+    )
+    frag_t = d_t.join(filtered, BAND_KEY).select(d_t.doc_id, "band")
+    assert count_exchanges(frag_t) == 1
     after = probe_minhash_index(spark, idx, delta).collect()
     want = [r for r in before if r.corpus_doc not in erased]
     assert sorted(map(tuple, after)) == sorted(map(tuple, want))
