@@ -139,7 +139,9 @@ def forget(
     return DedupResult(
         files=result.files.join(ids, "file_id", "left_anti"),
         chunks=kept,
-        hash_links=unmerge_hash_links(result.hash_links, deleted, kept),
+        hash_links=unmerge_hash_links(
+            result.hash_links, deleted, kept, algorithm=algorithm
+        ),
         tokens=encode_chunks(
             kept,
             file_col="file_id",
