@@ -63,7 +63,10 @@ from sabd_deduplicator_spark.catalog import (
     source_token,
     table,
 )
-from sabd_deduplicator_spark.operators.similarity import _MINHASH_INCR_ORACLE
+from sabd_deduplicator_spark.operators.similarity import (
+    _MINHASH_INCR_ORACLE,
+    _SHINGLES_SQL,
+)
 from sabd_deduplicator_spark.registry import query
 
 N_INDEX_BUCKETS = 32
@@ -567,6 +570,141 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("doc_id", F.lit(10)) == 0
     )
     return probe_minhash_index(spark, idx, delta)
+
+
+_STALENESS_K = 100
+
+# stored stats = df over ALL stratum shingles (hot/ holds the capped-out
+# ones, the shingles/ component aggregates to df for the rest — together
+# exactly the stratum's df relation), so the oracle recomputes that
+# relation in SQL, takes the same deterministic top-K (df DESC, sh ASC) and
+# diffs it against a fresh-corpus recompute
+_STALENESS_ORACLE = (
+    "WITH she AS ("
+    + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 0")
+    + "), shf AS ("
+    + _SHINGLES_SQL
+    + "), ns AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 <> 0), "
+    "nf AS (SELECT count(*) AS n FROM documents), "
+    "stored AS (SELECT sh, CAST(count(*) AS BIGINT) AS stored_df FROM she GROUP BY sh), "
+    "topk AS (SELECT sh, stored_df, "
+    "  stored_df * 2 > (SELECT n FROM ns) AS was_hot, "
+    "  row_number() OVER (ORDER BY stored_df DESC, sh) AS rn FROM stored), "
+    "fresh AS (SELECT sh, CAST(count(*) AS BIGINT) AS fresh_df FROM shf GROUP BY sh), "
+    "j AS (SELECT t.sh, t.stored_df, t.was_hot, "
+    "  CAST(coalesce(f.fresh_df, 0) AS BIGINT) AS fresh_df "
+    f"  FROM topk t LEFT JOIN fresh f ON f.sh = t.sh WHERE t.rn <= {_STALENESS_K}) "
+    "SELECT sh, stored_df, was_hot, fresh_df, "
+    "fresh_df - stored_df AS drift, "
+    "fresh_df * 2 > (SELECT n FROM nf) AS now_hot, "
+    "CASE WHEN was_hot AND fresh_df * 2 > (SELECT n FROM nf) THEN 'steady_hot' "
+    "WHEN was_hot THEN 'cooled' "
+    "WHEN fresh_df * 2 > (SELECT n FROM nf) THEN 'newly_hot' "
+    "ELSE 'cold' END AS status, "
+    "CAST(sum(CASE WHEN was_hot <> (fresh_df * 2 > (SELECT n FROM nf)) "
+    "THEN 1 ELSE 0 END) OVER () AS BIGINT) > 0 AS rebuild_recommended "
+    "FROM j"
+)
+
+
+@query("minhash_index_staleness", oracle=_STALENESS_ORACLE)
+def minhash_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild monitor the module docstring promises: diff the index's
+    STORED shingle-df stats against a fresh recompute over the current
+    corpus and decide whether the frozen hot-set cap has gone stale.
+
+    Why this exists: appends cap the delta with the hot set FROZEN at the
+    last rebuild (consistency contract above), so a shingle that becomes
+    ubiquitous after the rebuild is NOT capped — its band buckets start
+    crowding, which is exactly the quadratic-blowup failure the cap
+    prevents. The monitor's job is to catch that cheaply, without
+    re-sketching anything: the stored stats are already on disk (hot/
+    holds the capped-out shingles' df; aggregating the shingles/ component
+    gives df for every other stored shingle — no text re-processing), and
+    the fresh side is one df aggregate over the current corpus.
+
+    Output: the stored top-K (=100) df shingles (deterministic order: df DESC,
+    sh ASC — taken via the k-th-value prefilter, never a full global
+    sort), each with its fresh df, the drift, both hotness flags, a status
+    in (steady_hot / cooled / newly_hot / cold), and a global
+    rebuild_recommended verdict — true iff ANY monitored shingle CROSSED
+    the df > n/2 threshold in either direction, because a crossing is what
+    invalidates stored band keys (cooled: stored sketches capped a shingle
+    a fresh build would keep; newly_hot: appends are not capping a shingle
+    a fresh build would cap). Simple drift without a crossing never
+    invalidates the cap, so it only reports.
+
+    The stored stratum is doc_id % 10 <> 0 (same persisted index the probe
+    query uses); the fresh corpus is the full documents table — the
+    9-docs-grew-to-10 staleness scenario. Reference anchor: the Postgres
+    index has no monitor at all — it can only ever grow
+    (lib/deduplicator/hash.ex:47-102); this is what operating a frozen-cap
+    index at 100 TB actually requires."""
+    from pyspark.sql import Window
+
+    from sabd_deduplicator_spark.operators.similarity import shingles_of
+
+    idx = stored_stratum_index(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one scalar job: the monitor's fresh-hotness denominator (same
+    # .count() the build itself pays for its threshold)
+    n_fresh = docs.count()
+    stored = (
+        idx.shingles(spark)
+        .groupBy("sh")
+        .agg(F.count("*").alias("stored_df"))
+        .withColumn("was_hot", F.lit(False))
+        .unionByName(
+            idx.hot(spark).select(
+                "sh", F.col("df").alias("stored_df"), F.lit(True).alias("was_hot")
+            )
+        )
+    )
+    # k-th-value prefilter: TakeOrderedAndProject finds the K-th stored_df,
+    # the broadcast join keeps only rows at or above it, and the bounded
+    # row_number window sees <= K + ties rows — never the full vocabulary
+    # on one partition
+    kth = (
+        stored.orderBy(F.desc("stored_df"), "sh")
+        .limit(_STALENESS_K)
+        .agg(F.min("stored_df").alias("kth"))
+    )
+    survivors = stored.join(broadcast(kth), stored.stored_df >= kth.kth)
+    w = Window.orderBy(F.desc("stored_df"), "sh")
+    topk = (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STALENESS_K)
+        .select("sh", "stored_df", "was_hot")
+    )
+    fresh = shingles_of(docs).groupBy("sh").agg(F.count("*").alias("fresh_df"))
+    j = topk.join(fresh, "sh", "left").select(
+        "sh",
+        "stored_df",
+        "was_hot",
+        F.coalesce("fresh_df", F.lit(0)).cast("long").alias("fresh_df"),
+    )
+    now_hot = F.col("fresh_df") * 2 > F.lit(n_fresh)
+    status = (
+        F.when(F.col("was_hot") & now_hot, "steady_hot")
+        .when(F.col("was_hot"), "cooled")
+        .when(now_hot, "newly_hot")
+        .otherwise("cold")
+    )
+    # bounded global window: input is the monitored top-K set (<= K rows)
+    wv = Window.partitionBy()
+    crossed = F.sum(
+        F.when(F.col("was_hot") != now_hot, 1).otherwise(0)
+    ).over(wv)
+    return j.select(
+        "sh",
+        "stored_df",
+        "was_hot",
+        "fresh_df",
+        (F.col("fresh_df") - F.col("stored_df")).alias("drift"),
+        now_hot.alias("now_hot"),
+        status.alias("status"),
+        (crossed > 0).alias("rebuild_recommended"),
+    )
 
 
 def compact_minhash_index(spark: SparkSession, idx: MinHashIndex) -> dict:

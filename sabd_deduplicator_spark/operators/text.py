@@ -936,12 +936,28 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("round").cast("int"), "sym_a", "sym_b", "n")
 
 
+_BPE_MERGES_MEMO: dict = {}
+
+
 def _learn_bpe_rounds(spark: SparkSession, sf_dir: str) -> list:
     """The bpe_learn_merges train loop as a helper: returns the learned
     [(round, sym_a, sym_b, n)] merge table (driver-side — the merge table
     IS tiny driver state in every real BPE trainer). Shared by the learn
-    query and bpe_encode_vocab (which APPLIES the merges)."""
-    from sabd_deduplicator_spark.catalog import spread_if_narrow
+    query, bpe_encode_vocab and bpe_encode_docs (which APPLY the merges);
+    memoized per (application, corpus staleness token) so the apply
+    queries don't re-pay the R training passes — the merge table is a
+    deterministic pure function of the corpus, so reuse cannot change any
+    answer (and a production pipeline trains once, ships the table)."""
+    from sabd_deduplicator_spark.catalog import (
+        evict_dead_app_entries,
+        source_token,
+        spread_if_narrow,
+    )
+
+    key = (spark.sparkContext.applicationId, source_token(sf_dir, "documents"))
+    if key in _BPE_MERGES_MEMO:
+        return _BPE_MERGES_MEMO[key]
+    evict_dead_app_entries(_BPE_MERGES_MEMO, key[0])
 
     sep2_lit = F.lit(_BSEP + _BSEP)
     d = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
@@ -991,6 +1007,7 @@ def _learn_bpe_rounds(spark: SparkSession, sf_dir: str) -> list:
         st = st.withColumn(
             "state", _bpe_merge_replace(F.col("state"), a, b)
         )
+    _BPE_MERGES_MEMO[key] = rows
     return rows
 
 
@@ -1097,6 +1114,117 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), "token")
         .limit(BPE_ENCODE_TOP)
+    )
+
+
+def _bpe_encode_docs_oracle() -> str:
+    # the learn chain (s0..sR + m1..mR) again; a d-chain threads
+    # (doc_id, n_tokens, state) through the SAME replaces, with the whole
+    # DOCUMENT as one state string (token states concatenated — see the
+    # query docstring for why merges cannot fire across the 4-delimiter
+    # token boundary)
+    ctes = ["s0 AS MATERIALIZED (" + _BPE_SEED_SQL + ")"]
+    ctes.append(
+        "d0 AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "array_to_string(list_transform(toks, t -> "
+        "chr(1)||chr(1) || array_to_string(list_transform("
+        "range(1, length(t)+1), i -> substr(t, CAST(i AS INT), 1)), "
+        "chr(1)||chr(1)) || chr(1)||chr(1)), '') AS state "
+        "FROM (SELECT doc_id, list_filter("
+        "string_split(replace(text, chr(1), ''), ' '), t -> length(t) >= 1) "
+        "AS toks FROM documents WHERE text IS NOT NULL))"
+    )
+    for r in range(1, BPE_LEARN_ROUNDS + 1):
+        ctes.append(_bpe_round_sql(f"s{r - 1}", f"m{r}", f"s{r}"))
+        key = f"(SELECT key FROM m{r})"
+        a = f"string_split({key}, chr(1))[1]"
+        b = f"string_split({key}, chr(1))[2]"
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT doc_id, n_tokens, "
+            f"CASE WHEN {key} IS NULL THEN state ELSE "
+            f"replace(state, chr(1) || {a} || chr(1)||chr(1) || {b} || chr(1), "
+            f"chr(1) || {a} || {b} || chr(1)) END AS state FROM d{r - 1})"
+        )
+    last = f"d{BPE_LEARN_ROUNDS}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, n_tokens, n_chars, n_symbols, "
+        "round(n_chars / nullif(n_symbols, 0), 6) AS chars_per_symbol FROM ("
+        "  SELECT doc_id, n_tokens, "
+        "  CAST(length(replace(state, chr(1), '')) AS BIGINT) AS n_chars, "
+        "  CAST((length(state) - length(replace(state, chr(1), ''))) // 2 "
+        f"  AS BIGINT) - n_tokens AS n_symbols FROM {last})"
+    )
+
+
+@query("bpe_encode_docs", oracle=_bpe_encode_docs_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE tokenization — the training pipeline's ACTUAL apply
+    pass: bpe_encode_vocab encodes the distinct vocabulary (the shipped
+    artifact); this encodes every DOCUMENT and reports per-doc token
+    accounting (n_tokens whitespace words, n_chars, n_symbols BPE tokens
+    after the learned merges, chars_per_symbol compression), the numbers a
+    data pipeline needs to size a training run.
+
+    One-projection-per-merge, no explode: each whitespace token's state is
+    the delimiter-doubled encoding (⁁⁁c⁁⁁c⁁⁁…, ⁁ = chr(1)), and the whole
+    document is their plain CONCATENATION — safe because a token boundary
+    then carries FOUR consecutive delimiters while every merge pattern
+    ⁁a⁁⁁b⁁ requires exactly two between its symbols and symbols never
+    contain ⁁, so no merge can fire across a boundary and per-doc encoding
+    is exactly per-token encoding (the greedy-BPE-exactness argument in
+    bpe_learn_merges carries over unchanged). Symbol counts come from
+    delimiter arithmetic (D delimiters over T tokens holding K symbols
+    satisfy D = 2K + 2T), not from materializing a per-doc symbol array.
+
+    Scale shape: the learn loop's R corpus passes are memoized per corpus
+    (_learn_bpe_rounds — a production pipeline trains once and ships the
+    table); the apply pass is R broadcast-literal replace projections over
+    the doc-state column plus one narrow final projection — zero shuffles
+    after the scan, embarrassingly parallel, exactly how a distributed
+    tokenizer pass runs at 100 TB. Oracle: the merges re-derived in SQL,
+    every document threaded through the identical replace chain."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    merges = _learn_bpe_rounds(spark, sf_dir)
+    sep2 = _BSEP + _BSEP
+    d = spread_if_narrow(table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.filter(
+        F.split(F.replace(F.col("text"), F.lit(_BSEP), F.lit("")), " "),
+        lambda t: F.length(t) >= 1,
+    )
+    enc = d.select(F.col("doc_id"), toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr(
+            "array_join(transform(toks, t -> "
+            "char(1) || char(1) || array_join(transform("
+            "sequence(1, length(t)), i -> substring(t, i, 1)), "
+            "char(1) || char(1)) || char(1) || char(1)), '')"
+        ).alias("state"),
+    )
+    for _, a, b, _n in merges:
+        enc = enc.withColumn("state", _bpe_merge_replace(F.col("state"), a, b))
+    stripped = F.length(F.replace(F.col("state"), F.lit(_BSEP), F.lit("")))
+    n_symbols = (
+        F.expr(
+            "(length(state) - length(replace(state, char(1), ''))) div 2"
+        ).cast("long")
+        - F.col("n_tokens")
+    )
+    out = enc.select(
+        "doc_id",
+        "n_tokens",
+        stripped.cast("long").alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+    )
+    return out.withColumn(
+        "chars_per_symbol",
+        F.round(
+            F.col("n_chars") / F.expr("nullif(n_symbols, 0)"), 6
+        ),
     )
 
 

@@ -86,6 +86,12 @@ SUBSET = [
     "repeated_substring_census_fast",
     # r7: gate-threshold calibration sweep
     "quality_gate_sweep",
+    # r9: index rebuild monitor (driver-side count + stored-stats reads) +
+    # corpus-wide BPE apply (driver-side merge table)
+    "minhash_index_staleness",
+    "bpe_encode_docs",
+    # r9: bucketed-target MERGE (driver-side memoized snapshot build)
+    "merge_apply_changes_bucketed",
 ]
 
 

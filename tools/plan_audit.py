@@ -111,6 +111,8 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("bpe_first_merges", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 20 + ties)",
     ("text_bm25_topk", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 15 + ties)",
     ("top_tokens_corpus", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 50 + ties)",
+    ("minhash_index_staleness", "BroadcastNestedLoopJoin"): "1-row kth-value prefilter",
+    ("minhash_index_staleness", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 100 + ties), then the 1-column rebuild verdict over the same ≤ 100-row monitored set",
     ("topk_customers_by_spend", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ 10 + ties)",
     ("vocab_coverage_curve", GLOBAL_WINDOW): "ranks k-th-value survivors (≤ k_max + ties)",
     # --- total-order semantics: the OPERATOR is a corpus-wide ranking ---
