@@ -1125,11 +1125,13 @@ def _bpe_encode_docs_oracle() -> str:
     # token boundary)
     ctes = ["s0 AS MATERIALIZED (" + _BPE_SEED_SQL + ")"]
     ctes.append(
+        # COALESCE: DuckDB's array_to_string([], '') is NULL, not '' (a
+        # zero-token doc must encode to the empty state, as in Spark)
         "d0 AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
-        "array_to_string(list_transform(toks, t -> "
+        "COALESCE(array_to_string(list_transform(toks, t -> "
         "chr(1)||chr(1) || array_to_string(list_transform("
         "range(1, length(t)+1), i -> substr(t, CAST(i AS INT), 1)), "
-        "chr(1)||chr(1)) || chr(1)||chr(1)), '') AS state "
+        "chr(1)||chr(1)) || chr(1)||chr(1)), ''), '') AS state "
         "FROM (SELECT doc_id, list_filter("
         "string_split(replace(text, chr(1), ''), ' '), t -> length(t) >= 1) "
         "AS toks FROM documents WHERE text IS NOT NULL))"

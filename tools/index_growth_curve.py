@@ -1,0 +1,161 @@
+"""Probe-cost-vs-INDEX-growth curve for the persisted MinHash index
+(judge r8 next-round #3).
+
+The r8 curves measured work growing with the DELTA; the 100-TB claim for
+the persisted index is the other axis: with the delta FIXED, probe cost
+must stay flat-to-candidate-count as the INDEXED CORPUS grows — the
+reference's whole design is probing a stored table whose size is the point
+(lib/deduplicator/hash.ex:81-103). This tool grows the indexed corpus
+1x/3x/10x/30x on the hot-span generator (tools/scale_curve.py's
+build_corpus — same skew, same scaling dup pools), keeps ONE fixed 6.25k-doc
+delta, and measures per factor:
+
+- index BUILD wall (the amortized nightly-rebuild cost, for context);
+- PROBE wall + shuffle-write bytes (the per-ingest cost under test) + the
+  verified pair count (probe output is allowed to grow when the corpus
+  genuinely contains more near-dups of the delta — flatness is judged
+  per candidate, like the r6 pair-output finding);
+- the RECOMPUTE-variant wall (minhash_incremental_delta's shape: sketch
+  the stored stratum from scratch every run) — the cost the index
+  amortizes away, expected to grow linearly while the probe does not.
+
+Expected shape: probe shuffle bytes ~flat (only the delta and the
+candidates are exchanged; the index side reads its buckets in place), probe
+wall sublinear (the bucketed scan is a sequential columnar read, no
+shuffle/sort), recompute linear. Results → PERF.md.
+
+Usage: python tools/index_growth_curve.py [--factors 1 3 10 30]
+       [--base 62500] [--delta 6250] [--out /tmp/sabd_idx_growth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.scale_curve import build_corpus, shuffle_write_bytes  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", nargs="*", type=int, default=[1, 3, 10, 30])
+    ap.add_argument("--base", type=int, default=62_500)
+    ap.add_argument("--delta", type=int, default=6_250)
+    ap.add_argument("--out", default="/tmp/sabd_idx_growth")
+    ap.add_argument(
+        "--skip-recompute", action="store_true",
+        help="skip the O(corpus) recompute baseline at each factor",
+    )
+    args = ap.parse_args()
+
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from sabd_deduplicator_spark.operators.similarity import minhash_bands
+
+    spark = (
+        SparkSession.builder.appName("index_growth_curve")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-"))
+        .config("spark.ui.enabled", "true")  # REST stage metrics
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+    # ONE fixed delta across all factors: same generator, ids shifted out of
+    # every corpus's id range so the ingestion contract (fresh ids) holds.
+    delta_dir = f"{args.out}/delta"
+    os.makedirs(delta_dir, exist_ok=True)
+    if not os.path.isdir(f"{delta_dir}/documents.parquet"):
+        build_corpus(spark, delta_dir, args.delta)
+    delta = (
+        spark.read.parquet(f"{delta_dir}/documents.parquet")
+        .select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
+    )
+
+    rows = []
+    for f in args.factors:
+        sf_dir = f"{args.out}/x{f}"
+        os.makedirs(sf_dir, exist_ok=True)
+        if not os.path.isdir(f"{sf_dir}/documents.parquet"):
+            t0 = time.time()
+            build_corpus(spark, sf_dir, args.base * f)
+            print(f"built x{f} ({args.base * f} docs) in {time.time()-t0:.1f}s")
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        idx_dir = f"{args.out}/idx_x{f}"
+        t0 = time.time()
+        idx = build_minhash_index(spark, corpus, idx_dir, f"mh_growth_x{f}")
+        build_s = time.time() - t0
+
+        # probe: fixed delta against the stored index
+        t0 = time.time()
+        sb0 = shuffle_write_bytes(spark)
+        pairs = probe_minhash_index(spark, idx, delta)
+        n_pairs = pairs.count()
+        probe_s = time.time() - t0
+        probe_sb = shuffle_write_bytes(spark) - sb0
+
+        recompute_s = None
+        if not args.skip_recompute:
+            # the cost the index amortizes: re-sketch the stored corpus
+            # under the same frozen cap, then the same band join + verify
+            t0 = time.time()
+            from sabd_deduplicator_spark.operators.similarity import shingles_of
+            from pyspark.sql.functions import broadcast
+
+            she = shingles_of(corpus).join(
+                broadcast(idx.hot(spark).select("sh")), "sh", "left_anti"
+            )
+            shd = shingles_of(delta).join(
+                broadcast(idx.hot(spark).select("sh")), "sh", "left_anti"
+            )
+            cand = (
+                minhash_bands(shd)
+                .select(F.col("doc_id").alias("delta_doc"), "band", "x", "y")
+                .join(
+                    minhash_bands(she).select(
+                        F.col("doc_id").alias("corpus_doc"), "band", "x", "y"
+                    ),
+                    ["band", "x", "y"],
+                )
+                .select("delta_doc", "corpus_doc")
+                .distinct()
+            )
+            cand.write.format("noop").mode("overwrite").save()
+            recompute_s = time.time() - t0
+
+        rows.append((f, args.base * f, build_s, probe_s, probe_sb, n_pairs, recompute_s))
+        rc = f"{recompute_s:.1f}" if recompute_s is not None else "-"
+        print(
+            f"x{f}: build={build_s:.1f}s probe={probe_s:.1f}s "
+            f"probe_shuffle={probe_sb/1e6:.1f}MB pairs={n_pairs} "
+            f"recompute_candidates={rc}s"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS mh_growth_x{f}")
+
+    print("\n| factor | corpus_docs | build_s | probe_s | probe_shuffle_MB | pairs | recompute_cand_s |")
+    print("|---|---|---|---|---|---|---|")
+    for f, n, b, p, sb, np_, rc in rows:
+        rcs = f"{rc:.1f}" if rc is not None else "-"
+        print(f"| {f}x | {n} | {b:.1f} | {p:.1f} | {sb/1e6:.1f} | {np_} | {rcs} |")
+
+
+if __name__ == "__main__":
+    main()
