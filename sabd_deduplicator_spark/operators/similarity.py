@@ -2060,17 +2060,31 @@ def minhash_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_d = minhash_bands(shd).select(
         F.col("doc_id").alias("delta_doc"), "band", "x", "y"
     )
+    # materialized: the delta-sized candidate set feeds the intersection
+    # join AND the corpus-doc restriction below (without pinning, each
+    # consumer re-runs the band join)
     cand = (
         bands_d.join(bands_e, ["band", "x", "y"])
         .select("delta_doc", "corpus_doc")
         .distinct()
+        .localCheckpoint()
     )
+    # index-growth guard (r9, PERF.md curve): verify must touch the corpus
+    # shingle relation only where a candidate needs it — the raw join
+    # shuffled the WHOLE stratum's shingles (and sze aggregated all of it)
+    # per run, growing with the corpus under a fixed delta. The candidate
+    # corpus-doc set is delta-sized → broadcast semi-join prunes before
+    # any shuffle; verify shuffle becomes ∝ candidates.
+    corpus_hits = broadcast(
+        cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    )
+    she_v = she.join(corpus_hits, "doc_id", "left_semi")
     szd = shd.groupBy("doc_id").agg(F.count("*").alias("nd"))
-    sze = she.groupBy("doc_id").agg(F.count("*").alias("ne"))
+    sze = she_v.groupBy("doc_id").agg(F.count("*").alias("ne"))
     inter = (
         cand.join(shd.select(F.col("doc_id").alias("delta_doc"), "sh"), "delta_doc")
         .join(
-            she.select(F.col("doc_id").alias("corpus_doc"), "sh"),
+            she_v.select(F.col("doc_id").alias("corpus_doc"), "sh"),
             ["corpus_doc", "sh"],
         )
         .groupBy("delta_doc", "corpus_doc")
