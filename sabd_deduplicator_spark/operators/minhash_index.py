@@ -329,7 +329,14 @@ def _move_parquet_files(src_dir: str, dst_dir: str) -> None:
         return
     os.makedirs(dst_dir, exist_ok=True)
     for f in glob.glob(os.path.join(src_dir, "*.parquet")):
-        os.rename(f, os.path.join(dst_dir, os.path.basename(f)))
+        try:
+            os.rename(f, os.path.join(dst_dir, os.path.basename(f)))
+        except FileNotFoundError:
+            # a concurrent roll-forward (a probe publishing the same
+            # committed batch while the appender finishes its own publish)
+            # moved this file between our glob and rename — the move
+            # happened, which is all idempotence requires
+            pass
 
 
 def _publish_append(
@@ -375,7 +382,10 @@ def recover_minhash_index(
         staging = os.path.join(idx.index_dir, _APPEND_STAGING + batch)
         _publish_append(spark, idx, staging)
         shutil.rmtree(staging, ignore_errors=True)
-        os.remove(marker)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass  # a concurrent roll-forward beat us to it — same outcome
     if roll_back:
         for staging in glob.glob(
             os.path.join(idx.index_dir, _APPEND_STAGING + "*")
@@ -516,7 +526,10 @@ def append_to_minhash_index(
         raise InjectedCrash("committed")
     _publish_append(spark, idx, staging, _crash=_crash)
     shutil.rmtree(staging, ignore_errors=True)
-    os.remove(marker)
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass  # a concurrent probe's roll-forward already resolved it
 
 
 def forget_from_minhash_index(
