@@ -15,6 +15,9 @@ delta, and measures per factor:
   verified pair count (probe output is allowed to grow when the corpus
   genuinely contains more near-dups of the delta — flatness is judged
   per candidate, like the r6 pair-output finding);
+- APPEND wall + shuffle bytes for a SECOND fixed delta folded into the
+  stored index (the crash-atomic staged append) — the maintenance cost,
+  which must also be delta-sized as the index grows;
 - the RECOMPUTE-variant wall (minhash_incremental_delta's shape: sketch
   the stored stratum from scratch every run) — the cost the index
   amortizes away, expected to grow linearly while the probe does not.
@@ -112,6 +115,21 @@ def main() -> None:
         probe_s = time.time() - t0
         probe_sb = shuffle_write_bytes(spark) - sb0
 
+        # append: a SECOND fixed delta (ids shifted again) folded into the
+        # stored index via the crash-atomic staged append
+        from sabd_deduplicator_spark.operators.minhash_index import (
+            append_to_minhash_index,
+        )
+
+        delta2 = delta.select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+        )
+        t0 = time.time()
+        sb0 = shuffle_write_bytes(spark)
+        append_to_minhash_index(spark, idx, delta2)
+        append_s = time.time() - t0
+        append_sb = shuffle_write_bytes(spark) - sb0
+
         recompute_s = None
         if not args.skip_recompute:
             # the cost the index amortizes: re-sketch the stored corpus
@@ -141,20 +159,22 @@ def main() -> None:
             cand.write.format("noop").mode("overwrite").save()
             recompute_s = time.time() - t0
 
-        rows.append((f, args.base * f, build_s, probe_s, probe_sb, n_pairs, recompute_s))
+        rows.append((f, args.base * f, build_s, probe_s, probe_sb, n_pairs,
+                     append_s, append_sb, recompute_s))
         rc = f"{recompute_s:.1f}" if recompute_s is not None else "-"
         print(
             f"x{f}: build={build_s:.1f}s probe={probe_s:.1f}s "
             f"probe_shuffle={probe_sb/1e6:.1f}MB pairs={n_pairs} "
+            f"append={append_s:.1f}s append_shuffle={append_sb/1e6:.1f}MB "
             f"recompute_candidates={rc}s"
         )
         spark.sql(f"DROP TABLE IF EXISTS mh_growth_x{f}")
 
-    print("\n| factor | corpus_docs | build_s | probe_s | probe_shuffle_MB | pairs | recompute_cand_s |")
-    print("|---|---|---|---|---|---|---|")
-    for f, n, b, p, sb, np_, rc in rows:
+    print("\n| factor | corpus_docs | build_s | probe_s | probe_shuffle_MB | pairs | append_s | append_shuffle_MB | recompute_cand_s |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for f, n, b, p, sb, np_, ap, asb, rc in rows:
         rcs = f"{rc:.1f}" if rc is not None else "-"
-        print(f"| {f}x | {n} | {b:.1f} | {p:.1f} | {sb/1e6:.1f} | {np_} | {rcs} |")
+        print(f"| {f}x | {n} | {b:.1f} | {p:.1f} | {sb/1e6:.1f} | {np_} | {ap:.1f} | {asb/1e6:.1f} | {rcs} |")
 
 
 if __name__ == "__main__":
