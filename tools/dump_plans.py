@@ -75,6 +75,14 @@ HEADLINERS = {
         "on the key (full outer cannot broadcast — both unmatched sides "
         "survive), no SortAggregate, no nested loop."
     ),
+    "merge_apply_changes_bucketed": (
+        "The MERGE cost model made physical (r9). Expect: the bucketed "
+        "customer snapshot scans with ZERO exchanges above it (bucket "
+        "layout satisfies the full outer's clustering); exactly one "
+        "Exchange on the delta side (the explicit repartition into the "
+        "bucket count) plus the changelog window's own shuffle; "
+        "WindowGroupLimit before it; SortMergeJoin FullOuter."
+    ),
     "ann_jl_rerank_topk": (
         "JL sketch prefilter + exact rerank. Expect: the sketch scores come "
         "from a localCheckpoint scan (memoized per corpus — the projection "
