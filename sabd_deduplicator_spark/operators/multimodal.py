@@ -1,7 +1,8 @@
 """Registered multimodal queries (plumbing from sources/multimodal.py).
 
-`media_feature_extract` exercises the Arrow/mapInPandas path (rows-only check:
-byte-level features over BLOBs aren't expressible in portable SQL);
+`media_feature_extract` exercises the Arrow/mapInPandas path (originally a
+rows-only check; its byte-level features over BLOBs have since gained a
+DuckDB oracle and hash-match like the rest of the registry);
 `multimodal_metadata_stats` proves the metadata columns behave as ordinary
 relational data (full oracle parity) — filters on typed metadata prune the
 parquet scan without touching payloads.

@@ -2802,10 +2802,12 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the JL_CANDIDATES best sketch-cosines, then re-rank ONLY those
     candidates by exact full-width cosine. Because the sketch is
     deterministic in both engines, the ENTIRE approximate pipeline —
-    prefilter, candidate set, re-rank — is value-checked by the oracle,
-    unlike the rows-only LSH/IVF paths whose hash internals are
-    engine-specific. This is the third ANN scale path: full-width work
-    drops from O(n·dim) to O(n·JL_DIMS + candidates·dim).
+    prefilter, candidate set, re-rank — is value-checked by the oracle.
+    (It was the first ANN path to earn that; LSH followed in r6 via the
+    integer lattice and IVF in r9 via the same device extended to its
+    trained quantizer — all three are value-oracled now.) This is the
+    third ANN scale path: full-width work drops from O(n·dim) to
+    O(n·JL_DIMS + candidates·dim).
 
     Scale: sketch scoring is a zero-shuffle narrow pass; the top-64 uses
     the package's k-th-value prefilter (TakeOrderedAndProject k-th value →
