@@ -109,7 +109,7 @@ def test_bucketed_merge_exchanges_only_the_delta(no_broadcast, sf_dir, tmp_path)
     )
 
     spark = no_broadcast
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     # materialize a delta batch so the fragment isolates the JOIN's
     # exchanges (the live query also pays the changelog window's shuffle,
     # which is delta-sized by construction)
