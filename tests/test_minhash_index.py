@@ -378,6 +378,149 @@ def test_append_committed_crash_rolls_forward_via_probe(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS mh_t_rf")
 
 
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_rebuild_equals_fresh_build_and_refreezes_cap(no_broadcast, tmp_path):
+    """rebuild_minhash_index == a from-scratch build over the current
+    corpus with a FRESH hot set (the refreeze — unlike append, which keeps
+    the frozen cap): every component byte-equal, probe answers identical,
+    and the shuffle-free bucketed probe join survives the catalog swap."""
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        rebuild_minhash_index,
+    )
+
+    spark = no_broadcast
+    a = _docs(spark, _CORPUS)
+    b = _docs(spark, _DELTA, 100)
+    probe_batch = _docs(spark, [_CORPUS[0], "another probe doc entirely"], 500)
+    idx = build_minhash_index(
+        spark, a, str(tmp_path / "i"), "mh_t_rb", n_buckets=8
+    )
+    append_to_minhash_index(spark, idx, b)  # drifts under the frozen cap
+
+    report = rebuild_minhash_index(spark, idx, a.unionByName(b))
+    assert report["n_docs_indexed"] > 0
+
+    fresh = build_minhash_index(
+        spark, a.unionByName(b), str(tmp_path / "f"), "mh_t_rb_f", n_buckets=8
+    )
+    assert _rows(idx.hot(spark)) == _rows(fresh.hot(spark))  # refrozen
+    assert _rows(idx.bands(spark)) == _rows(fresh.bands(spark))
+    assert _rows(idx.shingles(spark)) == _rows(fresh.shingles(spark))
+    assert _rows(idx.sizes(spark)) == _rows(fresh.sizes(spark))
+    assert _rows(probe_minhash_index(spark, idx, probe_batch)) == _rows(
+        probe_minhash_index(spark, fresh, probe_batch)
+    )
+    assert probe_minhash_index(spark, idx, probe_batch).count() > 0
+    # the swapped-in band table still joins bucket-aligned
+    _, bands_d = delta_band_shingles(spark, idx, probe_batch)
+    p = str(tmp_path / "probe_bands_rb")
+    bands_d.write.parquet(p)
+    assert count_exchanges(_probe_fragment(spark, idx, p)) == 1
+    # no staging/marker/retired residue
+    import glob as _glob
+    import os as _os
+
+    for pat in (".rebuild_*", "_commit_rebuild_*", ".retired_*"):
+        assert not _glob.glob(_os.path.join(idx.index_dir, pat))
+    for t in ("mh_t_rb", "mh_t_rb_f"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.parametrize("crash", ["staged", "committed", "mid_swap"])
+def test_rebuild_crash_then_recover_is_atomic(spark, tmp_path, crash):
+    """Fault injection at the rebuild's three boundaries: (a) after staging
+    but before the commit marker — the rebuild never happened and the next
+    writer discards the orphan; (b) right after the marker; (c) halfway
+    through the component swaps — in both committed cases the next PROBE
+    rolls the rebuild forward and answers as the rebuilt index."""
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        InjectedCrash,
+        rebuild_minhash_index,
+    )
+
+    a = _docs(spark, _CORPUS)
+    b = _docs(spark, _DELTA, 100)
+    probe_batch = _docs(spark, [_CORPUS[0], "another probe doc entirely"], 500)
+    tbl = f"mh_t_rbc_{crash}"
+    idx = build_minhash_index(spark, a, str(tmp_path / "i"), tbl, n_buckets=8)
+    append_to_minhash_index(spark, idx, b)
+    pre = _rows(probe_minhash_index(spark, idx, probe_batch))
+
+    with pytest.raises(InjectedCrash):
+        rebuild_minhash_index(spark, idx, a.unionByName(b), _crash=crash)
+
+    fresh = build_minhash_index(
+        spark, a.unionByName(b), str(tmp_path / "f"), tbl + "_f", n_buckets=8
+    )
+    if crash == "staged":
+        # uncommitted: readers see the PRE-rebuild index, unchanged
+        assert _rows(probe_minhash_index(spark, idx, probe_batch)) == pre
+        # and a retry completes cleanly (discarding the orphaned staging)
+        rebuild_minhash_index(spark, idx, a.unionByName(b))
+    else:
+        # committed: the next probe rolls the swap forward
+        assert _rows(probe_minhash_index(spark, idx, probe_batch)) == _rows(
+            probe_minhash_index(spark, fresh, probe_batch)
+        )
+    assert _rows(idx.bands(spark)) == _rows(fresh.bands(spark))
+    assert _rows(idx.hot(spark)) == _rows(fresh.hot(spark))
+    assert _rows(idx.shingles(spark)) == _rows(fresh.shingles(spark))
+    assert _rows(idx.sizes(spark)) == _rows(fresh.sizes(spark))
+    import glob as _glob
+    import os as _os
+
+    for pat in (".rebuild_*", "_commit_rebuild_*", ".retired_*"):
+        assert not _glob.glob(_os.path.join(idx.index_dir, pat))
+    for t in (tbl, tbl + "_f"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebuild_applies_tombstone_snapshot_keeps_later_ones(spark, tmp_path):
+    """The rebuild IS the physical application of the tombstones it
+    snapshots: erased docs are excluded from the rebuilt components, the
+    snapshotted vector files are spent, and the erased doc_id becomes
+    usable again — while a tombstone that lands AFTER the commit point
+    (mid-rebuild) survives the publish and keeps filtering probes."""
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        InjectedCrash,
+        forget_from_minhash_index,
+        rebuild_minhash_index,
+    )
+
+    a = _docs(spark, _CORPUS)
+    idx = build_minhash_index(
+        spark, a, str(tmp_path / "i"), "mh_t_rbt", n_buckets=8
+    )
+    forget_from_minhash_index(
+        spark, idx, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    report = rebuild_minhash_index(spark, idx, a)
+    assert report["tombstones_applied"] == 1
+    assert not idx.has_tombstones()
+    for comp in (idx.bands(spark), idx.shingles(spark), idx.sizes(spark)):
+        assert comp.filter(F.col("doc_id") == 3).count() == 0
+    # the id is usable again (the retired-until-compaction rule cleared)
+    append_to_minhash_index(spark, idx, _docs(spark, ["fresh body for 3"], 3))
+    assert idx.sizes(spark).filter(F.col("doc_id") == 3).count() == 1
+
+    # mid-rebuild tombstone: commit the rebuild, crash before publish,
+    # forget doc 5, then let a probe roll the rebuild forward — doc 5's
+    # tombstone must still be live and filtering
+    with pytest.raises(InjectedCrash):
+        rebuild_minhash_index(spark, idx, a, _crash="committed")
+    forget_from_minhash_index(
+        spark, idx, spark.createDataFrame([(5,)], "doc_id long")
+    )
+    probe_batch = _docs(spark, [_CORPUS[5]], 700)
+    got = probe_minhash_index(spark, idx, probe_batch)  # rolls forward
+    assert got.filter(F.col("corpus_doc") == 5).count() == 0
+    assert idx.has_tombstones()  # doc 5's vector survived the publish
+    spark.sql("DROP TABLE IF EXISTS mh_t_rbt")
+
+
 def test_probe_tolerates_readonly_recovery(spark, tmp_path, monkeypatch):
     """A probe is a READ path: on an index mount where roll-forward writes
     are denied (judge r9 advice), it must serve the consistent PRE-PUBLISH
