@@ -107,13 +107,17 @@ def main() -> None:
         idx = build_minhash_index(spark, corpus, idx_dir, f"mh_growth_x{f}")
         build_s = time.time() - t0
 
-        # probe: fixed delta against the stored index
+        # probe: fixed delta against the stored index (default crowded-
+        # bucket cap; skips are REPORTED via the stats dict — no silent
+        # caps, r10)
         t0 = time.time()
         sb0 = shuffle_write_bytes(spark)
-        pairs = probe_minhash_index(spark, idx, delta)
+        pstats: dict = {}
+        pairs = probe_minhash_index(spark, idx, delta, stats=pstats)
         n_pairs = pairs.count()
         probe_s = time.time() - t0
         probe_sb = shuffle_write_bytes(spark) - sb0
+        n_over = pstats.get("n_oversized_buckets", 0)
 
         # append: a SECOND fixed delta (ids shifted again) folded into the
         # stored index via the crash-atomic staged append
@@ -160,21 +164,22 @@ def main() -> None:
             recompute_s = time.time() - t0
 
         rows.append((f, args.base * f, build_s, probe_s, probe_sb, n_pairs,
-                     append_s, append_sb, recompute_s))
+                     n_over, append_s, append_sb, recompute_s))
         rc = f"{recompute_s:.1f}" if recompute_s is not None else "-"
         print(
             f"x{f}: build={build_s:.1f}s probe={probe_s:.1f}s "
             f"probe_shuffle={probe_sb/1e6:.1f}MB pairs={n_pairs} "
+            f"skipped_buckets={n_over} "
             f"append={append_s:.1f}s append_shuffle={append_sb/1e6:.1f}MB "
             f"recompute_candidates={rc}s"
         )
         spark.sql(f"DROP TABLE IF EXISTS mh_growth_x{f}")
 
-    print("\n| factor | corpus_docs | build_s | probe_s | probe_shuffle_MB | pairs | append_s | append_shuffle_MB | recompute_cand_s |")
-    print("|---|---|---|---|---|---|---|---|---|")
-    for f, n, b, p, sb, np_, ap, asb, rc in rows:
+    print("\n| factor | corpus_docs | build_s | probe_s | probe_shuffle_MB | pairs | skipped_buckets | append_s | append_shuffle_MB | recompute_cand_s |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for f, n, b, p, sb, np_, nov, ap, asb, rc in rows:
         rcs = f"{rc:.1f}" if rc is not None else "-"
-        print(f"| {f}x | {n} | {b:.1f} | {p:.1f} | {sb/1e6:.1f} | {np_} | {ap:.1f} | {asb/1e6:.1f} | {rcs} |")
+        print(f"| {f}x | {n} | {b:.1f} | {p:.1f} | {sb/1e6:.1f} | {np_} | {nov} | {ap:.1f} | {asb/1e6:.1f} | {rcs} |")
 
 
 if __name__ == "__main__":
