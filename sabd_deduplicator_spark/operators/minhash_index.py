@@ -1189,6 +1189,12 @@ def compact_minhash_index(spark: SparkSession, idx: MinHashIndex) -> dict:
     )
     compact_parquet(spark, idx.shingles_path, transform=drop_tomb)
     compact_parquet(spark, idx.sizes_path, transform=drop_tomb)
+    if glob.glob(os.path.join(idx.hot_delta_path, "*.parquet")):
+        # the stats side-table accretes one file set per append too; no
+        # tombstone transform — it has no doc_id (contributions of
+        # forgotten docs are a documented monitor blind spot until the
+        # rebuild refreezes, see index_staleness_from_stats)
+        compact_parquet(spark, idx.hot_delta_path)
     for f in tomb_files:
         # every component swap has landed with the SNAPSHOTTED tombstones
         # applied; those files are spent (a crash before this point leaves

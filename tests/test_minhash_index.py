@@ -166,10 +166,13 @@ def test_compaction_preserves_rows_and_bucket_layout(no_broadcast, tmp_path):
     append_to_minhash_index(spark, idx, _docs(spark, _DELTA, 200))
     before_rows = sorted(map(tuple, idx.bands(spark).collect()))
 
+    hd_before = sorted(map(tuple, idx.hot_delta(spark).collect()))
     stats = compact_minhash_index(spark, idx)
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] <= idx.n_buckets
     assert sorted(map(tuple, idx.bands(spark).collect())) == before_rows
+    # the hot_delta stats side-table is consolidated too, rows unchanged
+    assert sorted(map(tuple, idx.hot_delta(spark).collect())) == hd_before
 
     # the probe join is still bucket-aligned after the catalog swap
     _, bands_d = delta_band_shingles(spark, idx, _docs(spark, _DELTA, 300))
