@@ -597,6 +597,13 @@ def recover_minhash_index(
                 os.path.join(idx.index_dir, f"bands_rebuild_{batch}"),
                 ignore_errors=True,
             )
+        for tmp in glob.glob(os.path.join(idx.index_dir, ".commit_tmp_*")):
+            # a rebuild that died between manifest write and the marker
+            # rename: uncommitted by definition (the marker never existed)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
 
 def append_to_minhash_index(
@@ -1310,8 +1317,19 @@ def rebuild_minhash_index(
         "old_band_location": old_band_location,
     }
     marker = os.path.join(idx.index_dir, _REBUILD_MARKER + batch)
-    with open(marker, "x", encoding="utf-8") as fh:  # THE commit point
+    # unlike the append marker (filename-keyed, content unused), this
+    # marker's JSON body IS the publish manifest — so the commit point
+    # must publish content atomically: write-fsync a hidden temp (outside
+    # every recovery glob), then rename. A crash mid-write leaves only the
+    # invisible temp; the marker either exists complete or not at all.
+    marker_tmp = os.path.join(idx.index_dir, f".commit_tmp_{batch}")
+    with open(marker_tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    if _crash == "pre_commit_rename":
+        raise InjectedCrash("pre_commit_rename")  # torn commit: tmp only
+    os.rename(marker_tmp, marker)  # THE commit point
     if _crash == "committed":
         raise InjectedCrash("committed")
     _publish_rebuild(spark, idx, batch, manifest, _crash=_crash)

@@ -437,13 +437,18 @@ def test_rebuild_equals_fresh_build_and_refreezes_cap(no_broadcast, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-@pytest.mark.parametrize("crash", ["staged", "committed", "mid_swap"])
+@pytest.mark.parametrize(
+    "crash", ["staged", "pre_commit_rename", "committed", "mid_swap"]
+)
 def test_rebuild_crash_then_recover_is_atomic(spark, tmp_path, crash):
-    """Fault injection at the rebuild's three boundaries: (a) after staging
-    but before the commit marker — the rebuild never happened and the next
-    writer discards the orphan; (b) right after the marker; (c) halfway
-    through the component swaps — in both committed cases the next PROBE
-    rolls the rebuild forward and answers as the rebuilt index."""
+    """Fault injection at the rebuild's four boundaries: (a) after staging
+    but before the commit marker and (b) after the manifest temp is
+    written but before its atomic rename (a TORN commit — the marker must
+    never exist half-written, so this is uncommitted) — in both, the
+    rebuild never happened and the next writer discards the orphan;
+    (c) right after the marker; (d) halfway through the component swaps —
+    in both committed cases the next PROBE rolls the rebuild forward and
+    answers as the rebuilt index."""
     from sabd_deduplicator_spark.operators.minhash_index import (
         InjectedCrash,
         rebuild_minhash_index,
@@ -463,7 +468,7 @@ def test_rebuild_crash_then_recover_is_atomic(spark, tmp_path, crash):
     fresh = build_minhash_index(
         spark, a.unionByName(b), str(tmp_path / "f"), tbl + "_f", n_buckets=8
     )
-    if crash == "staged":
+    if crash in ("staged", "pre_commit_rename"):
         # uncommitted: readers see the PRE-rebuild index, unchanged
         assert _rows(probe_minhash_index(spark, idx, probe_batch)) == pre
         # and a retry completes cleanly (discarding the orphaned staging)
@@ -480,7 +485,8 @@ def test_rebuild_crash_then_recover_is_atomic(spark, tmp_path, crash):
     import glob as _glob
     import os as _os
 
-    for pat in (".rebuild_*", "_commit_rebuild_*", ".retired_*"):
+    for pat in (".rebuild_*", "_commit_rebuild_*", ".retired_*",
+                ".commit_tmp_*"):
         assert not _glob.glob(_os.path.join(idx.index_dir, pat))
     for t in (tbl, tbl + "_f"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
