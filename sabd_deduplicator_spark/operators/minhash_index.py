@@ -47,12 +47,23 @@ crossings, the only event that invalidates stored band keys.
 
 At 100 TB: the band table is the only corpus-sized artifact touched per
 probe, and it is never shuffled or rewritten per ingest — appends add
-bucket files, probes read buckets matched to the delta's band keys.
-Bucket-file accretion is the small-files problem every incremental sink
-has; :func:`compact_minhash_index` is the maintenance answer (a plain
-size-based rewrite would destroy the bucket layout, so compaction goes
-through the same bucketed writer and swaps via the catalog).
-:func:`probe_and_ingest` composes the whole nightly transaction.
+bucket files, probes read buckets matched to the delta's band keys (band
+keys whose occupancy exceeds PROBE_BUCKET_CAP are skipped AND reported,
+so the collision feed is bounded even when the frozen cap has gone
+stale). Bucket-file accretion is the small-files problem every
+incremental sink has; :func:`compact_minhash_index` is the maintenance
+answer (a plain size-based rewrite would destroy the bucket layout, so
+compaction goes through the same bucketed writer and swaps via the
+catalog). :func:`probe_and_ingest` composes the whole nightly
+transaction and reports the staleness verdict
+(:func:`index_staleness_from_stats`, from stored stats alone) each run;
+when it says rebuild, :func:`rebuild_minhash_index` (r10) executes the
+correction — a staged, crash-atomic whole-index rebuild that REFREEZES
+the hot set over the current corpus, applies the tombstone snapshot
+physically, and swaps via the same marker + idempotent-publish protocol
+the append uses. The full lifecycle — build → probe/ingest → append →
+forget → compact → monitor → rebuild — is closed, each transition
+fault-injection tested.
 """
 
 from __future__ import annotations
