@@ -2074,10 +2074,18 @@ def minhash_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffled the WHOLE stratum's shingles (and sze aggregated all of it)
     # per run, growing with the corpus under a fixed delta. The candidate
     # corpus-doc set is delta-sized → broadcast semi-join prunes before
-    # any shuffle; verify shuffle becomes ∝ candidates.
-    corpus_hits = broadcast(
-        cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    # any shuffle; verify shuffle becomes ∝ candidates. Broadcast guard
+    # (r10, same as probe_minhash_index): cand is checkpointed so the
+    # count is one cheap job; a crowding corpus that inflates candidates
+    # toward stratum size falls back to a shuffled left_semi, never an
+    # OOMing broadcast.
+    from sabd_deduplicator_spark.operators.minhash_index import (
+        PROBE_BROADCAST_MAX_CANDIDATES,
     )
+
+    corpus_hits = cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    if cand.count() <= PROBE_BROADCAST_MAX_CANDIDATES:
+        corpus_hits = broadcast(corpus_hits)
     she_v = she.join(corpus_hits, "doc_id", "left_semi")
     szd = shd.groupBy("doc_id").agg(F.count("*").alias("nd"))
     sze = she_v.groupBy("doc_id").agg(F.count("*").alias("ne"))
