@@ -265,6 +265,50 @@ def delta_band_shingles(
 PROBE_BUCKET_CAP = 64
 PROBE_BROADCAST_MAX_CANDIDATES = 4_000_000  # broadcast guard (judge r9 advice)
 
+_OCC_MEMO: dict = {}
+
+
+def _max_band_occupancy(spark: SparkSession, idx: MinHashIndex) -> int:
+    """Memoized GLOBAL max band-key occupancy of the stored index — the
+    stat that decides whether a probe needs the crowded-bucket census at
+    all (global max ≤ cap ⇒ no delta can match an over-cap bucket).
+    Keyed by the sizes/ component's file listing — a pure filesystem
+    check: every maintenance op that changes the band table rewrites
+    sizes too (append stages both, compaction compacts both, rebuild
+    swaps both), and a forget only ever LOWERS live occupancy, the safe
+    direction. One aggregate per index STATE, amortized across every
+    probe between maintenance ops (the staleness monitor's cost class)
+    instead of a census scan per probe — an always-on census cost the
+    registered probe a measured ~2× wall at sf0.1 for zero skips, and
+    even resolving the band location per probe is a DESCRIBE TABLE job
+    this path must not pay. Raw-bands max (tombstones not subtracted) is
+    an upper bound of live occupancy: the census is only ever SKIPPED
+    when even the bound fits under the cap."""
+    import glob
+    import hashlib as _hashlib
+
+    from sabd_deduplicator_spark.catalog import evict_dead_app_entries
+
+    listing = "|".join(
+        sorted(
+            f"{os.path.basename(f)}:{os.path.getsize(f)}"
+            for f in glob.glob(os.path.join(idx.sizes_path, "*.parquet"))
+        )
+    )
+    token = _hashlib.md5(listing.encode()).hexdigest()
+    key = (spark.sparkContext.applicationId, idx.table_name, token)
+    if key not in _OCC_MEMO:
+        evict_dead_app_entries(_OCC_MEMO, key[0])
+        row = (
+            idx.bands(spark)
+            .groupBy(*BAND_KEY)
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .first()
+        )
+        _OCC_MEMO[key] = int(row["m"] or 0)
+    return _OCC_MEMO[key]
+
 
 def probe_minhash_index(
     spark: SparkSession,
@@ -329,10 +373,13 @@ def probe_minhash_index(
         she = she.join(tomb, "doc_id", "left_anti")
         sizes_e = sizes_e.join(tomb, "doc_id", "left_anti")
     shd, bands_d = delta_band_shingles(spark, idx, delta_docs)
-    if bucket_cap is not None:
-        # materialize the delta's band rows once (delta-sized): they feed
-        # the occupancy census and the candidate join below
-        bands_d = bands_d.localCheckpoint()
+    if bucket_cap is not None and _max_band_occupancy(spark, idx) > bucket_cap:
+        # some bucket somewhere is over the cap, so this delta MIGHT hit
+        # one: run the delta-keyed census. It stays LAZY — a broadcast-
+        # exchange subtree inside the candidate job (one extra 3-column
+        # bucketed scan, no extra job round-trips; the delta's band
+        # relation is evaluated twice inside that one job, census keys +
+        # join side — delta-sized, cheaper than materializing it).
         oversized = (
             bands_e.join(
                 broadcast(bands_d.select(*BAND_KEY).distinct()),
@@ -342,18 +389,24 @@ def probe_minhash_index(
             .groupBy(*BAND_KEY)
             .agg(F.count("*").alias("occupancy"))
             .filter(F.col("occupancy") > bucket_cap)
-            .localCheckpoint()
         )
-        n_oversized = oversized.count()
         if stats is not None:
-            stats["n_oversized_buckets"] = n_oversized
+            # reporting is the operational path (probe_and_ingest): pin
+            # the (tiny) oversized set and count it — two bounded jobs
+            oversized = oversized.localCheckpoint()
+            stats["n_oversized_buckets"] = oversized.count()
             stats["bucket_cap"] = bucket_cap
-        if n_oversized:
-            # dropping the key on the DELTA side is enough: the equi-join
-            # below can then never emit that key's collision rows
-            bands_d = bands_d.join(
-                broadcast(oversized.select(*BAND_KEY)), BAND_KEY, "left_anti"
-            )
+        # dropping the key on the DELTA side is enough: the equi-join
+        # below can then never emit that key's collision rows; with no
+        # oversized keys the anti-join is the identity
+        bands_d = bands_d.join(
+            broadcast(oversized.select(*BAND_KEY)), BAND_KEY, "left_anti"
+        )
+    elif bucket_cap is not None and stats is not None:
+        # the memoized index-state bound proves no bucket can exceed the
+        # cap — the census is skipped and there is nothing to skip
+        stats["n_oversized_buckets"] = 0
+        stats["bucket_cap"] = bucket_cap
     # materialized (localCheckpoint, eager): the candidate set is
     # delta-sized and feeds TWO consumers — the intersection join and the
     # broadcast restriction below — and without pinning, each would re-run
