@@ -76,6 +76,7 @@ SUBSET = [
     "sketch_order_locality",
     "minhash_band_tuning",
     "bpe_learn_merges",
+    "bpe_sample_confidence",
     "corpus_zipf_slope",
     # r7: ExactSubstr cut stage wired into the funnel
     "corpus_build_funnel_cut",
