@@ -836,10 +836,14 @@ def _publish_rebuild(
       (live → ``.retired_<batch>_<comp>``, staged → live); on re-entry a
       missing staged dir means that component already swapped, a surviving
       retired dir is just cleanup;
-    - the band table swaps via catalog DROP + RENAME (external tables: the
-      old files survive at ``manifest["old_band_location"]`` and are
-      deleted only after the swap landed); a re-entry where the staging
-      table no longer exists means the swap already happened;
+    - the band table swaps via ONE catalog mutation — the live table is
+      repointed at the staged files with ALTER TABLE SET LOCATION, then
+      the staged sibling table is dropped (external tables: the old files
+      survive at ``manifest["old_band_location"]`` and are deleted only
+      after the swap landed); a re-entry between the two statements
+      repeats the idempotent repoint and finishes the drop, and a
+      re-entry where the staging table no longer exists means the swap
+      already happened;
     - the SNAPSHOTTED tombstone files (``manifest["tomb_files"]``) are
       spent — the rebuilt components never contained those docs — and are
       removed; tombstones appended mid-rebuild are NOT touched (they were
@@ -894,6 +898,8 @@ def _publish_rebuild(
             spark.sql(
                 f"ALTER TABLE {idx.table_name} SET LOCATION '{staged_loc}'"
             )
+            if _crash == "post_set_location":
+                raise InjectedCrash("post_set_location")
             spark.sql(f"DROP TABLE {staging_tbl}")
         else:
             # live table missing (a crash in a pre-SET-LOCATION protocol

@@ -438,17 +438,21 @@ def test_rebuild_equals_fresh_build_and_refreezes_cap(no_broadcast, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "crash", ["staged", "pre_commit_rename", "committed", "mid_swap"]
+    "crash",
+    ["staged", "pre_commit_rename", "committed", "mid_swap",
+     "post_set_location"],
 )
 def test_rebuild_crash_then_recover_is_atomic(spark, tmp_path, crash):
-    """Fault injection at the rebuild's four boundaries: (a) after staging
+    """Fault injection at the rebuild's five boundaries: (a) after staging
     but before the commit marker and (b) after the manifest temp is
     written but before its atomic rename (a TORN commit — the marker must
     never exist half-written, so this is uncommitted) — in both, the
     rebuild never happened and the next writer discards the orphan;
-    (c) right after the marker; (d) halfway through the component swaps —
-    in both committed cases the next PROBE rolls the rebuild forward and
-    answers as the rebuilt index."""
+    (c) right after the marker; (d) halfway through the component swaps;
+    (e) after the catalog SET LOCATION repoint but before the staged
+    sibling table is dropped — in the committed cases the next PROBE
+    rolls the rebuild forward (repeating the idempotent repoint and
+    finishing the drop) and answers as the rebuilt index."""
     from sabd_deduplicator_spark.operators.minhash_index import (
         InjectedCrash,
         rebuild_minhash_index,
