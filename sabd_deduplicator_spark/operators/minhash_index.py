@@ -97,6 +97,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -249,8 +250,12 @@ class MinHashIndex:
 #   token in the body. Contended acquires poll until ``wait_seconds`` then
 #   raise :class:`IndexWriterContention` — a second writer blocks briefly and
 #   then fails CLEANLY, never interleaves staging with the holder.
-# - HEARTBEAT: the holder refreshes the lease mtime at protocol boundaries
-#   (after long staging stages); liveness is mtime-based.
+# - HEARTBEAT: liveness is mtime-based. A background daemon thread refreshes
+#   the lease mtime every min(stale/4, 30s) while the holder owns it — a
+#   staging stage longer than the stale threshold (routine for a 100-TB
+#   rebuild) must not read as a crashed holder. The explicit heartbeat()
+#   calls at protocol boundaries remain as belt-and-braces. A crashed or
+#   paused PROCESS takes the thread down with it, so staleness still works.
 # - STALE TAKEOVER: a lease whose mtime is older than ``stale_seconds`` marks
 #   a crashed holder (a process crash cannot release the file). Exactly one
 #   contender wins the takeover — the stale lease is first RENAMED to a
@@ -370,9 +375,37 @@ def writer_lease(
                 ) from None
             time.sleep(_LEASE_POLL_SECONDS)
     lease = _WriterLease(path, token)
+    stop = threading.Event()
+
+    def _auto_heartbeat() -> None:
+        # A staging stage longer than ``stale_seconds`` must NOT read as a
+        # crashed holder: at 100-TB scale a rebuild's staged build runs for
+        # hours, and boundary-only heartbeats would livelock it (every
+        # attempt taken over mid-stage, then fenced at commit). Refresh the
+        # mtime on a cadence well inside the stale threshold for as long as
+        # this process still owns the lease. A genuinely crashed or paused
+        # process takes this thread down with it, so staleness and takeover
+        # still work; a stall the thread survives is what the commit-time
+        # fencing check is for.
+        interval = min(stale / 4.0, 30.0)
+        while not stop.wait(interval):
+            if not lease.owned():
+                return  # taken over or released: never refresh a successor's
+            try:
+                os.utime(path)
+            except OSError:
+                return
+
+    hb = threading.Thread(
+        target=_auto_heartbeat, name="minhash-index-lease-heartbeat",
+        daemon=True,
+    )
+    hb.start()
     try:
         yield lease
     finally:
+        stop.set()
+        hb.join(timeout=2.0)
         if lease.owned():
             try:
                 os.remove(path)

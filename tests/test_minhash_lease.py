@@ -92,6 +92,24 @@ def test_stale_lease_takeover_and_fencing(tmp_path):
         assert not os.path.exists(lease_path)
 
 
+def test_auto_heartbeat_keeps_long_stage_alive(tmp_path):
+    """A staging stage longer than the stale threshold must not be taken
+    over while its process is alive: the lease's background heartbeat
+    keeps the mtime fresh without any boundary heartbeat() call, so a
+    contender still sees an ACTIVE holder — the livelock a 100-TB
+    rebuild's hours-long staged build would otherwise hit (taken over
+    mid-stage, then fenced at commit, on every attempt)."""
+    idx = MinHashIndex("mh_t_hb", str(tmp_path))
+    lease_path = os.path.join(str(tmp_path), "_writer_lease")
+    with writer_lease(idx, wait_seconds=0, stale_seconds=1.0) as a:
+        time.sleep(2.5)  # > 2x the stale threshold, no manual heartbeat
+        with pytest.raises(IndexWriterContention, match="is held"):
+            with writer_lease(idx, wait_seconds=0, stale_seconds=1.0):
+                pass
+        a.check()  # never fenced: still the sole owner
+    assert not os.path.exists(lease_path)
+
+
 def test_crashed_leaseholder_is_taken_over(spark, tmp_path):
     """A lease left behind by a dead process (stale mtime, no releaser)
     must not wedge the index: the next writer takes it over and lands."""
