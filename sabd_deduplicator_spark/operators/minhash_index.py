@@ -268,7 +268,16 @@ class MinHashIndex:
 #   commit; its orphaned staging is discarded by the new holder's
 #   roll_back recovery, and the batch retries cleanly.
 # - RELEASE: remove the file iff the token still matches (a taken-over
-#   holder must not release its successor's lease).
+#   holder must not release its successor's lease). The read-then-remove
+#   window is not atomic; the commit-time fencing check is the backstop
+#   that makes any release/takeover race harmless — no writer can commit
+#   without re-proving ownership first.
+#
+# Filesystem contract: the lease needs atomic exclusive-create (O_EXCL)
+# and atomic rename — POSIX local filesystems and HDFS provide both; NFS
+# needs v4+ for O_EXCL; on object stores (S3 et al.) substitute a
+# conditional-put (If-None-Match) lease object — the protocol shape
+# (token + heartbeat + fenced commit) carries over unchanged.
 #
 # Readers (probe) never take the lease for reads. They DO take it, non-
 # blocking, before publishing a committed REBUILD marker (that roll-forward
