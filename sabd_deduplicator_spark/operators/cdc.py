@@ -198,9 +198,24 @@ def dedup_cdc_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin = docs.select("doc_id", F.expr(f"{_TWIN}").alias("text"))
 
     def leg(method: str, orig_chunks: DataFrame, twin_chunks: DataFrame) -> DataFrame:
-        o_h = orig_chunks.select(F.md5("chunk").alias("h")).distinct()
+        # ONE pass per chunk generator (r11): the original four consumers
+        # (count, distinct-count, and both semi-join sides) each re-ran the
+        # per-position-md5 boundary scan — the most expensive map work in
+        # the query, evaluated 4x per leg in the before-plan. A single
+        # groupBy(h) carries the total count per distinct hash, so
+        # n_chunks = sum(c), n_distinct = rows, and the semi join probes
+        # the same pinned relation: each generator now runs exactly once.
+        o_h = (
+            orig_chunks.select(F.md5("chunk").alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=False)
+        )
         t_h = twin_chunks.select(F.md5("chunk").alias("h")).distinct()
-        n_chunks = orig_chunks.agg(F.count("*").alias("n_chunks"))
+        # coalesce: sum over an EMPTY corpus is NULL where count(*) was 0
+        n_chunks = o_h.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_chunks")
+        )
         n_distinct = o_h.agg(F.count("*").alias("n_distinct"))
         n_shared = o_h.join(t_h, "h", "left_semi").agg(F.count("*").alias("n_shared"))
         return (

@@ -1030,8 +1030,24 @@ def corpus_build_funnel_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct — pipeline, not a report join. The lang join is null-safe in
     both dialects (IS NOT DISTINCT FROM / eqNullSafe): a NULL-lang stratum
     must not drop its funnel row."""
-    d0 = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    cut = exactsubstr_cut(d0)
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
+
+    # spread_if_narrow (r11): the stride-1 window explode + xxhash64 and the
+    # downstream cut fold ran as SINGLE-TASK stages off the one-split sf0.1
+    # scan (stage profile: 4.9 of 6.7 s wall in tasks=1 stages, 32 cores
+    # idle) -- the same row-starved-scan fix every other explode-heavy
+    # operator already applies; a no-op on a real multi-split corpus.
+    d0 = spread_if_narrow(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    # Pin the cut corpus: THREE consumers (the census below plus the span
+    # explode and its keeper join inside _funnel_report's survivorship pass)
+    # would otherwise each re-run the whole ExactSubstr cut — the stride-1
+    # window explode, the hot-window census shuffle, and the island windows
+    # (the r11 before-plan shows the subtree verbatim 3x, zero reuse). At
+    # scale this is the same trade the pipeline makes anyway: a production
+    # run MATERIALIZES the cut corpus once and trains from it.
+    cut = exactsubstr_cut(d0).localCheckpoint(eager=False)
     report = _funnel_report(cut)
     census = cut.groupBy(F.col("lang").alias("c_lang")).agg(
         F.sum((F.col("n_cut_spans") > 0).cast("long")).alias("n_docs_cut"),

@@ -2450,7 +2450,12 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement: the S-curve should grade the banding that will actually
     ship, i.e. collision rates over discriminative shingles."""
     sh = doc_shingles_capped(spark, sf_dir)
-    sig = minhash_signatures(sh)
+    # sig is referenced by every config's band explode, which in turn feeds
+    # the bucket census AND both candidate-join sides — statically that is
+    # up to 9 copies of the shingle explode + min-aggregate (r11
+    # before-plan). Pin the doc-count-sized signature table once; the three
+    # per-config band explodes over it stay map-only.
+    sig = minhash_signatures(sh).localCheckpoint(eager=False)
 
     def band_cfg(b: int, r: int) -> DataFrame:
         return sig.select(
@@ -2498,14 +2503,21 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     kb = bands.join(keep, ["cfg", "band", "key"], "left_semi")
     l = kb.select("cfg", "band", "key", F.col("doc_id").alias("doc_a"))
     r_ = kb.select("cfg", "band", "key", F.col("doc_id").alias("doc_b"))
+    # cand feeds the pooled-pairs union AND the final per-cfg report join:
+    # pin the candidate-bounded set so the capped band self-join runs once
     cand = (
         l.join(r_, ["cfg", "band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("cfg", "doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     pairs = cand.select("doc_a", "doc_b").distinct()
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sz = (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
