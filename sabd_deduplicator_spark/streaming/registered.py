@@ -31,6 +31,25 @@ _SINK_IDS = itertools.count()
 
 _STAGE_MEMO: dict[str, str] = {}
 
+# State-partition count for the STREAM-STREAM JOIN drains: a streaming
+# join commits FOUR state stores per partition per micro-batch (left/right
+# keyToNumValues + keyWithIndexToValue), so their per-batch bill is commit
+# fan-out, not compute — halving the partitions halves it. Order-controlled
+# interleaved A/B at sf0.1 (change measured FIRST in each pair so warm-cache
+# bias favors the baseline): attribution_join 2.81 → 2.52 s median with
+# non-overlapping runs ([2.51,2.53,2.42] vs [2.81,2.73,2.80]);
+# attribution_outer 4.05 → 3.55 s under the same change-first protocol. The same sweep showed
+# NO order-robust effect on single-store drains (aggregates, dropDuplicates:
+# deltas within ±0.16 s wobble) — they keep _drain's default — and the
+# applyInPandasWithState drains are the opposite regime (per-partition
+# Python compute outweighs commit overhead: closed_sessions pins 32,
+# session_window keeps 8; 4 measured +0.5 s there). Production sizing is
+# the same decision with real numbers: pick state partitions per stateful-
+# operator store count and state volume — env-overridable for cluster runs.
+_JOIN_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+)
+
 
 def scratch_root() -> str | None:
     """Directory for streaming scratch (checkpoints, staged sources) —
@@ -433,7 +452,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = streaming_attribution(
         spark, staged, watermark_delay=f"{delay_sec} seconds"
     )
-    drained = _drain(joined, "append")
+    drained = _drain(joined, "append", _JOIN_STATE_PARTITIONS)
     return drained.select(
         "purchase_id",
         "click_id",
@@ -523,7 +542,7 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = join_stream.streaming_attribution_outer(
         spark, staged, watermark_delay="0 seconds"
     )
-    drained = _drain(joined, "append")
+    drained = _drain(joined, "append", _JOIN_STATE_PARTITIONS)
     return drained.select(
         "purchase_id",
         "click_id",
@@ -1007,6 +1026,7 @@ def streaming_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is one (16-byte hash, int) row per DISTINCT chunk — the chunk
     store's own key set, nothing bigger; per-batch totals are a batch-side
     aggregate over the same staged files."""
+    from sabd_deduplicator_spark.catalog import spread_if_narrow
     from sabd_deduplicator_spark.operators.cdc import _cdc_chunks_expr
 
     staged = _stage_by_batch(spark, sf_dir, _CDC_BATCHES)
@@ -1015,17 +1035,28 @@ def streaming_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.select(batch_col, F.explode(_cdc_chunks_expr("text")).alias("chunk"))
         .select("batch", F.md5("chunk").alias("h"))
     )
+    # Each micro-batch is ONE staged file = one scan task, but the chunker
+    # is the O(len) per-position-md5 sweep — the single most expensive map
+    # expression in the engine. Fan the trigger's rows across the cluster
+    # BEFORE chunking (deterministic hash partitioning on doc_id; the
+    # shuffled bytes are just the trigger's raw text) or every batch runs
+    # it single-core: measured 5.13 → 2.55 s for the whole drain at sf0.1.
+    # Production triggers arriving as many files are already wide — this
+    # mirrors spread_if_narrow for the staged one-file-per-trigger layout.
     src = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(staged)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     agg = chunks_of(src).groupBy("h").agg(F.min("batch").alias("batch"))
     drained = _drain(agg, "complete")
     novel = drained.groupBy("batch").agg(F.count("*").alias("n_new"))
-    tot = chunks_of(spark.read.parquet(staged)).groupBy("batch").agg(
-        F.count("*").alias("n_chunks")
-    )
+    # batch-side totals pay the same chunk sweep over a 4-file scan —
+    # spread it too (no-op on a multi-split corpus)
+    tot = chunks_of(spread_if_narrow(spark.read.parquet(staged))).groupBy(
+        "batch"
+    ).agg(F.count("*").alias("n_chunks"))
     return tot.join(novel, "batch", "left").select(
         "batch",
         "n_chunks",
