@@ -1556,19 +1556,25 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2.groupBy(F.substring_index("bigram", " ", 1).alias("ctx"))
         .agg(F.sum("cf2").alias("cf1"))
     )
-    vrow = (
-        d.select(F.explode("tokens").alias("token"))
-        .agg(F.count_distinct("token").cast("double").alias("v"))
-        .first()
+    # V folded in as a 1-row broadcast (r11): as a driver `.first()` this was
+    # a SEQUENTIAL corpus-scan job (token explode + count_distinct) the main
+    # pipeline had to wait for; in-plan, the vocabulary census and the bigram
+    # pipeline are independent subtrees of ONE job and overlap on the
+    # cluster. coalesce mirrors the old `if vrow["v"] is not None else 1.0`
+    # guard; the smoothing arithmetic (α·V) is the same IEEE double product.
+    vtot = d.select(F.explode("tokens").alias("token")).agg(
+        F.coalesce(
+            F.count_distinct("token").cast("double"), F.lit(1.0)
+        ).alias("_vsz")
     )
-    vsz = float(vrow["v"]) if vrow["v"] is not None else 1.0
     p = (F.col("cf2") + F.lit(BIGRAM_ALPHA)) / (
-        F.col("cf1") + F.lit(BIGRAM_ALPHA * vsz)
+        F.col("cf1") + F.lit(BIGRAM_ALPHA) * F.col("_vsz")
     )
     return (
         db.join(c2, "bigram")
         .withColumn("ctx", F.substring_index("bigram", " ", 1))
         .join(c1, "ctx")
+        .crossJoin(F.broadcast(vtot))
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("tf").alias("n_bigrams"),
@@ -1621,13 +1627,20 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stot = st.groupBy("source").agg(F.sum("tf").cast("double").alias("stot"))
     g = st.groupBy("token").agg(F.sum("tf").alias("gf"))
-    gtot_row = g.agg(F.sum("gf").cast("double").alias("gtot")).first()
-    gtot = float(gtot_row["gtot"]) if gtot_row["gtot"] is not None else 1.0
+    # corpus-total folded in as a 1-row broadcast (r11): the former driver
+    # `.first()` re-derived st AND g in a separate sequential job (a second
+    # full token explode + two aggregates per run); in-plan, the st/g
+    # exchanges are computed once and shared via runtime exchange reuse.
+    # coalesce mirrors the old empty-corpus `else 1.0` guard.
+    gt = g.agg(
+        F.coalesce(F.sum("gf").cast("double"), F.lit(1.0)).alias("_gtot")
+    )
     ps = F.col("tf") / F.col("stot")
-    pg = F.col("gf") / F.lit(gtot)
+    pg = F.col("gf") / F.col("_gtot")
     return (
         st.join(g, "token")
         .join(broadcast(stot), "source")
+        .crossJoin(broadcast(gt))
         .groupBy("source", "stot")
         .agg(
             F.round(F.sum(ps * F.log(ps / pg)), 6).alias("kl_nats"),

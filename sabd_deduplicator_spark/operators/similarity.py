@@ -19,7 +19,6 @@ engines and results rounded to 6 decimals, so association-order drift
 from __future__ import annotations
 
 import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast

@@ -415,17 +415,26 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "byte"
     )
-    cand = (
-        l.join(r, ["band", "byte"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
-    )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    # r11: the band join's shuffle is tiny in BYTES (n docs × 4 band rows)
+    # but quadratic-in-bucket in OUTPUT, so AQE's byte-based coalescing
+    # collapsed it to ONE task (stage profile: 0.94 s single-task stage =
+    # ~30-45% of wall) — the classic "coalesce by input bytes, pay by output
+    # rows" failure. An explicit keyed repartition is exempt from AQE
+    # coalescing and spreads the bucket² pair generation across the cluster;
+    # (band, byte) has 1024 distinct values, so width-way hashing balances.
+    # Also verify hamming BEFORE the distinct: dedup then only shuffles the
+    # surviving near-dup pairs, not every band-bucket candidate. Both are
+    # row-identical rewrites (hamming is a function of the pair).
+    width = spark.sparkContext.defaultParallelism
     return (
-        cand.withColumn("hamming", hamming)
+        l.repartition(width, "band", "byte")
+        .join(r, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
