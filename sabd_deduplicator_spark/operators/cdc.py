@@ -371,7 +371,14 @@ def cdc_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_chunks_global,
     )
 
-    chunks = chunk_cdc(_docs_spread(spark, sf_dir))
+    # Pin the chunk relation (r11): encode_chunks_global consumes it TWICE
+    # (the per-row hashed side and build_hash_links' aggregate side —
+    # different subtrees, so runtime exchange reuse cannot fire) and the
+    # CDC per-position-md5 boundary scan is the dominant map work; one
+    # materialization halves it (A/B: faster in 3/3 quiet interleaved
+    # pairs). Production shape: the chunk relation IS the stored artifact
+    # an encode reads.
+    chunks = chunk_cdc(_docs_spread(spark, sf_dir)).localCheckpoint(eager=False)
     tokens = encode_chunks_global(
         chunks, file_width=12, pointer_width=9
     ).localCheckpoint(eager=False)
@@ -421,43 +428,60 @@ def dedup_cdc_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw corpus chars vs stored chars (one literal per distinct chunk + one
     (1+fw+pw)-digit pointer per repeat). The census needs only
     (n_chunks, n_distinct, widths) — the first-occurrence CHOICE cancels
-    out of the totals — so it stays a pair of distinct-aggregates with
-    1-row cross joins, no join against the hash index at all. Read with
-    dedup_cdc_vs_fixed: CDC pays slightly more pointer overhead on a
-    static corpus but keeps ~90% of chunks reusable across edits."""
+    out of the totals — so one groupBy(hash) followed by one global
+    aggregate computes everything, no join against the hash index at all.
+    Read with dedup_cdc_vs_fixed: CDC pays slightly more pointer overhead
+    on a static corpus but keeps ~90% of chunks reusable across edits."""
     from sabd_deduplicator_spark.operators.chunker import chunk_fixed
 
     docs = _docs_spread(spark, sf_dir)
 
     def leg(method: str, chunks: DataFrame) -> DataFrame:
-        base = chunks.agg(
-            F.count("*").alias("n_chunks"),
-            F.coalesce(F.sum(F.length("chunk")), F.lit(0))
+        # ONE pass per chunk generator (r11, same device as
+        # dedup_cdc_vs_fixed): the former base×dist cross join evaluated the
+        # generator twice (global agg + distinct agg) — the CDC leg's
+        # per-position-md5 boundary scan is the dominant map work. A single
+        # groupBy(h) carries everything both aggregates need: n_chunks =
+        # sum(c), raw_chars = sum of per-hash length sums, widths from
+        # per-hash maxima, and the distinct-side terms are row-count /
+        # min-length over the SAME relation — so the pipeline is linear and
+        # each generator runs exactly once.
+        g = (
+            chunks.select(
+                F.md5("chunk").alias("h"),
+                F.length("chunk").alias("l"),
+                "doc_id",
+                "line",
+            )
+            .groupBy("h")
+            .agg(
+                F.count("*").alias("c"),
+                F.sum("l").alias("sl"),
+                F.min("l").alias("ml"),
+                F.max("doc_id").alias("md"),
+                F.max("line").alias("mlin"),
+            )
+        )
+        tot = g.agg(
+            # coalesce: every sum/max over an EMPTY corpus is NULL
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_chunks"),
+            F.count("*").alias("n_distinct"),
+            F.coalesce(F.sum("sl"), F.lit(0)).cast("long").alias("raw_chars"),
+            F.coalesce(F.sum(F.lit(1) + F.col("ml")), F.lit(0))
             .cast("long")
-            .alias("raw_chars"),
-            F.coalesce(F.length(F.max("doc_id").cast("string")), F.lit(1)).alias(
+            .alias("literal_chars"),
+            F.coalesce(F.length(F.max("md").cast("string")), F.lit(1)).alias(
                 "fw"
             ),
-            F.coalesce(F.length(F.max("line").cast("string")), F.lit(1)).alias(
+            F.coalesce(F.length(F.max("mlin").cast("string")), F.lit(1)).alias(
                 "pw"
             ),
-        )
-        dist = (
-            chunks.select(F.md5("chunk").alias("h"), F.length("chunk").alias("l"))
-            .groupBy("h")
-            .agg(F.min("l").alias("l"))
-            .agg(
-                F.count("*").alias("n_distinct"),
-                F.coalesce(F.sum(F.lit(1) + F.col("l")), F.lit(0))
-                .cast("long")
-                .alias("literal_chars"),
-            )
         )
         stored = (
             F.col("literal_chars")
             + (F.col("n_chunks") - F.col("n_distinct")) * (1 + F.col("fw") + F.col("pw"))
         )
-        return base.crossJoin(dist).select(
+        return tot.select(
             F.lit(method).alias("method"),
             "n_chunks",
             "n_distinct",

@@ -492,6 +492,11 @@ def doc_repeated_substring_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bill as the span-dedup first-occurrence join. Window keys are the
     8-byte xxhash64 (_fp_positions_df) — equality-only usage, so the md5
     oracle grades the identical repeat structure."""
+    # NOT pinned (r11 A/B): the window explode appears three times in the
+    # static plan (consumers aggregate on different keys), but the three
+    # subtrees execute CONCURRENTLY inside one job — wall is max, not sum —
+    # and a localCheckpoint regressed +0.3 s in 4/5 quiet interleaved pairs
+    # (the materialization barrier serializes scan→consumers).
     w = _stride1_windows_fast(spark, sf_dir)
     hot = (
         w.groupBy("h")

@@ -79,7 +79,6 @@ EXPECTED: dict[tuple[str, str], str] = {
     ("doc_bigram_logprob", "BroadcastNestedLoopJoin"): "1-row vocabulary-size scalar cross join (r11: was a sequential driver .first() job)",
     ("source_unigram_kl", "BroadcastNestedLoopJoin"): "1-row corpus-total scalar cross join (r11: was a sequential driver .first() job re-deriving st+g)",
     ("dedup_bloom_sweep", "BroadcastNestedLoopJoin"): "1-row per-width census-scalar cross joins",
-    ("dedup_cdc_encode_stats", "BroadcastNestedLoopJoin"): "1-row census-scalar cross joins (base stats × distinct stats)",
     ("dedup_cdc_vs_fixed", "BroadcastNestedLoopJoin"): "1-row census-scalar cross joins (n_chunks × n_distinct × n_shared)",
     ("embedding_int8_quantize", "BroadcastNestedLoopJoin"): "1-row global scale broadcast",
     ("embedding_neardup_pairs", "BroadcastNestedLoopJoin"): "upper-triangular tile grid (block descriptors)",
