@@ -127,7 +127,16 @@ def main() -> None:
     # otherwise lands entirely on whichever pandas-UDF query runs first
     # (alphabetically ann_ivf_topk). One trivial mapInPandas over every core
     # moves that fixed cost outside the timed region, same as the JVM line.
+    # r11 addition, same rationale: each worker's FIRST sizable GEMM also
+    # allocates OpenBLAS buffers and faults fresh pages — a fixed per-worker
+    # cost (4-5 s rep-1 spikes on the first ann_* queries in the r11 pin;
+    # seconds-per-call under the host's intermittent memory-bandwidth
+    # disturbance), so warm it at the tile shape the similarity kernels use.
     def _ident(batches):
+        import numpy as np
+
+        a = np.full((2048, 64), 0.5)
+        a @ a.T  # noqa: B018 — warm BLAS buffers, result discarded
         yield from batches
 
     (

@@ -39,6 +39,26 @@ def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
         .config("spark.sql.adaptive.skewJoin.enabled", aqe)
+        # BLAS threads inside Python workers: ONE per worker (env-overridable
+        # for cluster shapes with fewer, fatter executors). Parallelism comes
+        # from the task/worker fan-out — 32 workers on this host — so an
+        # uncapped OpenBLAS pool both oversubscribes cores at steady state
+        # and, far worse on this host, pays a pathological pool spin-up in
+        # every freshly FORKED worker (measured standalone: 32 concurrent
+        # forked children each took ~29 s for their first threaded GEMM vs
+        # 0.12 s with the pool disabled — the tile-BLAS queries ran 8–10×
+        # slow whenever the worker pool grew mid-run). executorEnv is the
+        # cluster-mode mechanism; local mode needs the JVM-launch env below
+        # because the worker daemon preloads numpy before per-task env
+        # updates apply.
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1"),
+        )
+        .config(
+            "spark.executorEnv.OMP_NUM_THREADS",
+            os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # UDTFs eval via Arrow batches (ArrowEvalPythonUDTF), not row pickling
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
@@ -46,4 +66,21 @@ def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
-    return builder.getOrCreate()
+    # Local-mode leg of the BLAS cap: the Python worker DAEMON preloads
+    # numpy (pyspark.daemon imports pyspark.worker at startup), and OpenBLAS
+    # fixes its threading at library load — per-task env updates inside the
+    # worker arrive too late. The daemon inherits the JVM's environment and
+    # the JVM inherits ours at launch, so export the cap only around session
+    # creation, then remove it again so DRIVER-side numpy (bench host
+    # canaries, scalar helpers) keeps its historical threading behavior.
+    blas_threads = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1")
+    exported = []
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        if var not in os.environ:
+            os.environ[var] = blas_threads
+            exported.append(var)
+    try:
+        return builder.getOrCreate()
+    finally:
+        for var in exported:
+            del os.environ[var]

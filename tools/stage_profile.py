@@ -48,6 +48,10 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def _ident(batches):
+        import numpy as np
+
+        a = np.full((2048, 64), 0.5)
+        a @ a.T  # noqa: B018 — warm per-worker BLAS buffers (bench.py parity)
         yield from batches
 
     (
