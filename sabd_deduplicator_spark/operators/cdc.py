@@ -377,7 +377,11 @@ def cdc_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC per-position-md5 boundary scan is the dominant map work; one
     # materialization halves it (A/B: faster in 3/3 quiet interleaved
     # pairs). Production shape: the chunk relation IS the stored artifact
-    # an encode reads.
+    # an encode reads. Cluster caveat (ADVICE r11): localCheckpoint stores
+    # to executor-local (non-reliable) storage, so an executor loss makes
+    # the query unrecoverable — acceptable for a recomputable report in
+    # local mode; a distributed deployment would write the chunk artifact
+    # to reliable storage (the production shape above) instead of pinning.
     chunks = chunk_cdc(_docs_spread(spark, sf_dir)).localCheckpoint(eager=False)
     tokens = encode_chunks_global(
         chunks, file_width=12, pointer_width=9

@@ -133,9 +133,21 @@ def encoded_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-per-file relation restores full parallelism (measured 4.6 → ~2 s
     # at sf0.1). AQE never coalesces an explicit numbered repartition.
     spread = files.repartition(spark.sparkContext.defaultParallelism)
-    recovered = decode_tokens(
-        parse_encoded_string(spread, chunk_size=DEFAULT_CHUNK_SIZE)
-    )
+    # r12 (guide §2.4): decode_tokens consumes the parsed relation THREE
+    # times (literal union branch + both sides of the pointer resolve join —
+    # plans/r12/encoded_file_roundtrip_before.txt shows the parse Generate
+    # at nodes (7)/(13)/(20)), so the per-file position-fold — the query's
+    # dominant map expression, O(len) string slicing per file — ran 3×,
+    # each evaluation already spread to full width and contending with the
+    # others. One eager=False pin materializes the narrow (doc_id, line,
+    # token) relation instead: executor run time 25.2 → 19.1 s, the fold
+    # stage 19.0 → 12.6 s (stage profile; wall 4.1 → 2.6 s isolated, ~flat
+    # in interleaved A/B). Same cluster caveat as the cdc.py pin:
+    # executor-local storage, recomputable report.
+    parsed = parse_encoded_string(
+        spread, chunk_size=DEFAULT_CHUNK_SIZE
+    ).localCheckpoint(eager=False)
+    recovered = decode_tokens(parsed)
     text = recovered.groupBy("doc_id").agg(
         F.array_join(
             F.expr(

@@ -72,10 +72,16 @@ def _unstick_worker_blas() -> None:
                 fn = getattr(dll, name, None)
                 if fn is not None:
                     fn(n)
+                    # latch only on a successful cap (ADVICE r11): a miss —
+                    # BLAS not yet mmapped, MKL/Accelerate build — leaves
+                    # the flag down so a later-loaded OpenBLAS still gets
+                    # capped on the next kernel call. The retry's cost is
+                    # one /proc/self/maps scan per call, paid only while no
+                    # openblas mapping exists.
+                    _BLAS_UNSTUCK = True
                     break
     except Exception:  # noqa: BLE001 — perf hint only, never fail the task
         pass
-    _BLAS_UNSTUCK = True
 
 
 _DOT = (
@@ -2247,32 +2253,73 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     already pays, reusing the identical helpers."""
     sh = doc_shingles(spark, sf_dir)
     sig = minhash_signatures(sh)
-    bands = minhash_bands_from_sig(sig)
-    l = bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
-    r = bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y")
-    cand = (
-        l.join(r, ["band", "x", "y"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(MINHASH_PERMS)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(MINHASH_PERMS)],
-    )
     agree = sum(
         F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
         for k in range(MINHASH_PERMS)
     )
-    est = (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .select("doc_a", "doc_b", (agree / float(MINHASH_PERMS)).alias("est"))
+    # r12 restructure (guide §2.4): the signature aggregate — the
+    # query's expensive md5+conv term — previously fed FOUR consumers
+    # (band join l/r + two per-side verify joins); pinning it was
+    # A/B-rejected twice (r11). Instead the full signature vector rides
+    # THROUGH the band join (8 longs per band row), so the estimate is
+    # computed in the join row itself and the two sig re-joins (and
+    # their re-evaluations of the aggregate) disappear; the band
+    # self-join's two identical exchange subtrees are AQE-deduped at
+    # runtime, leaving ONE signature derivation. est is a pure function
+    # of the pair, so distinct over (doc_a, doc_b, est) emits exactly
+    # the distinct candidate pairs. Measured: total executor run time
+    # 28.2 → 14.3 s (the two heavy verify stages 14.4/11.6 → 7.4/3.9 —
+    # stage profile), wall flat at sf0.1 because the duplicated
+    # subtrees previously ran concurrently on idle cores. At 100 TB the
+    # trade is 64 extra bytes per band row against two shuffles of the
+    # quadratic candidate relation joined back to a doc-count-sized
+    # signature table — the carried bytes win.
+    n_bands = MINHASH_PERMS // BAND_ROWS
+    bsig = sig.select(
+        "doc_id",
+        *[F.col(f"h{k}") for k in range(MINHASH_PERMS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{b * BAND_ROWS}").alias("x"),
+                        F.col(f"h{b * BAND_ROWS + 1}").alias("y"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id",
+        *[F.col(f"h{k}") for k in range(MINHASH_PERMS)],
+        "bv.band",
+        "bv.x",
+        "bv.y",
     )
+    l = bsig.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "x",
+        "y",
+        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(MINHASH_PERMS)],
+    )
+    r = bsig.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "x",
+        "y",
+        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(MINHASH_PERMS)],
+    )
+    est = (
+        l.join(r, ["band", "x", "y"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", (agree / float(MINHASH_PERMS)).alias("est")
+        )
+        .distinct()
+    )
+    cand = est.select("doc_a", "doc_b")
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     j1 = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
     inter = (

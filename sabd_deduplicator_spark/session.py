@@ -11,6 +11,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _effective_blas_threads() -> str:
+    """ONE resolved per-worker BLAS thread count, applied identically to the
+    cluster leg (spark.executorEnv) and the local-mode JVM-launch export —
+    previously the two legs could disagree when the user had exported
+    OPENBLAS_NUM_THREADS themselves (ADVICE r11): the env export skipped
+    already-set vars (user wins) while executorEnv always took
+    SPARK_GRAFT_BLAS_THREADS (override wins). Precedence, strongest first:
+    SPARK_GRAFT_BLAS_THREADS (this package's explicit knob) >
+    OPENBLAS_NUM_THREADS / OMP_NUM_THREADS from the user's environment >
+    the capped default of 1 (see the builder comment on why uncapped
+    per-worker pools pathologically oversubscribe)."""
+    env = os.environ.get("SPARK_GRAFT_BLAS_THREADS")
+    if env:
+        return env
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        user = os.environ.get(var)
+        if user:
+            return user
+    return "1"
+
+
 def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
     """local[$SPARK_GRAFT_CPUS] session with AQE + Arrow enabled.
 
@@ -53,11 +74,11 @@ def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
         # updates apply.
         .config(
             "spark.executorEnv.OPENBLAS_NUM_THREADS",
-            os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1"),
+            _effective_blas_threads(),
         )
         .config(
             "spark.executorEnv.OMP_NUM_THREADS",
-            os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1"),
+            _effective_blas_threads(),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # UDTFs eval via Arrow batches (ArrowEvalPythonUDTF), not row pickling
@@ -73,14 +94,17 @@ def get_spark(app_name: str = "sabd-dedup-spark") -> SparkSession:
     # the JVM inherits ours at launch, so export the cap only around session
     # creation, then remove it again so DRIVER-side numpy (bench host
     # canaries, scalar helpers) keeps its historical threading behavior.
-    blas_threads = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1")
-    exported = []
+    blas_threads = _effective_blas_threads()
+    saved: dict[str, str | None] = {}
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
-        if var not in os.environ:
+        if os.environ.get(var) != blas_threads:
+            saved[var] = os.environ.get(var)
             os.environ[var] = blas_threads
-            exported.append(var)
     try:
         return builder.getOrCreate()
     finally:
-        for var in exported:
-            del os.environ[var]
+        for var, old in saved.items():
+            if old is None:
+                del os.environ[var]
+            else:
+                os.environ[var] = old

@@ -1,5 +1,5 @@
 """Order-controlled in-process A/B for round-11 optimizations: query
-functions gate their OLD shape on SPARK_GRAFT_R11_OLD=1 (read at query-BUILD
+functions gate their OLD shape on SPARK_GRAFT_R12_OLD=1 (read at query-BUILD
 time), so one warm JVM can interleave new/old reps — the tightest possible
 comparison on a wobbling host. The NEW arm runs FIRST in every pair so
 warm-cache bias favors the baseline (the round's established protocol).
@@ -73,14 +73,14 @@ def main() -> None:
         quiet_old: list[float] = []
         # one untimed warm rep per arm (staging memos, codegen)
         for arm in ("0", "1"):
-            os.environ["SPARK_GRAFT_R11_OLD"] = arm
+            os.environ["SPARK_GRAFT_R12_OLD"] = arm
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             spark.sparkContext._jvm.System.gc()
         for _ in range(args.pairs):
             pre = probe()
             pair: list[float] = []
             for arm, sink in (("0", new_runs), ("1", old_runs)):
-                os.environ["SPARK_GRAFT_R11_OLD"] = arm
+                os.environ["SPARK_GRAFT_R12_OLD"] = arm
                 spark.sparkContext.setJobDescription(f"{name}:{arm}")
                 t0 = time.perf_counter()
                 fn(spark, args.sf).write.format("noop").mode(
@@ -94,7 +94,7 @@ def main() -> None:
             if pre < QUIET and post < QUIET:
                 quiet_new.append(pair[0])
                 quiet_old.append(pair[1])
-        os.environ.pop("SPARK_GRAFT_R11_OLD", None)
+        os.environ.pop("SPARK_GRAFT_R12_OLD", None)
         q = (
             f" | QUIET pairs ({len(quiet_new)}): new "
             f"{statistics.median(quiet_new):.3f} {quiet_new} old "
