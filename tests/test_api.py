@@ -125,3 +125,34 @@ def test_api_forget_equals_rededup_of_survivors(spark, algorithm):
     rec = api.reassemble(api.recover(got.tokens))
     survived = {r["file_id"]: r["text"] for r in rec.collect()}
     assert survived == {1: "BBBBBBBBDDDDDDDD", 2: "AAAAAAAAEEEEEEEE"}
+
+
+def test_table_memo_hits_and_staleness(spark, tmp_path):
+    """catalog.table memoizes the RESOLVED base-table DataFrame (metadata
+    only — schema + file index; r12 fixed-overhead optimization) keyed by a
+    (mtime, size) staleness token: a regenerated file at the same path must
+    re-resolve instead of serving the stale listing, and a memo hit must
+    return the same plan object without re-reading footers."""
+    import os
+    import time
+
+    from sabd_deduplicator_spark import catalog
+
+    sf = str(tmp_path)
+    spark.range(3).selectExpr(
+        "id AS doc_id", "'a b' AS text", "'en' AS lang", "'s' AS source",
+        "CAST(3 AS LONG) AS n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    d1 = catalog.table(spark, sf, "documents")
+    assert d1.count() == 3
+    # memo hit: same object, no re-resolution
+    assert catalog.table(spark, sf, "documents") is d1
+    # regenerate at the SAME path with different contents → token changes
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    spark.range(5).selectExpr(
+        "id AS doc_id", "'a b' AS text", "'en' AS lang", "'s' AS source",
+        "CAST(3 AS LONG) AS n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    d2 = catalog.table(spark, sf, "documents")
+    assert d2 is not d1
+    assert d2.count() == 5
