@@ -1901,6 +1901,47 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(sh)
 
 
+def _pair_shingle_intersections(
+    pairs: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    keys: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-candidate-pair shared-shingle counts — the exact-verify kernel
+    every sketch query funnels through — with the fan-out join kept WIDE
+    (r12, guide §2.5): the (pair × shingles-of-a) relation is tiny in
+    BYTES (a few MB compressed) but each row fans out and probes in the
+    (b, sh) join, so AQE's byte-based coalescing collapses the verify
+    stage to 1-2 tasks while 30 cores idle — "coalesce by input bytes,
+    pay by output rows", the same failure r11 fixed in
+    simhash_neardup_pairs. Measured on the 10× core-scaling corpus:
+    minhash_lsh_neardup_capped's verify stage ran 15.1 s of executor time
+    in TWO tasks (8-vs-32-core ratio 1.03 — no scaling at all); the
+    explicit keyed repartition is exempt from AQE coalescing.
+
+    The repartition spreads the CANDIDATE relation — the last small thing
+    before the amplification — so the whole pipelined fan-out/probe stage
+    (both shingle joins + the partial count) runs at cluster width; the
+    exchange moves only the candidate bytes. (Repartitioning BETWEEN the
+    two joins instead was measured and is a trap: it materializes the
+    amplified pair×shingle relation through the exchange — 465 MB
+    shuffled, executor time 79.7 → 333 s on the same corpus. Shuffle
+    small rows, fan out after — guide §2.3/§8.) Deterministic hash keys —
+    retry-safe."""
+    sh_b = sh_a if sh_b is None else sh_b
+    key_cols = list(keys) if keys is not None else [a_col, b_col]
+    width = pairs.sparkSession.sparkContext.defaultParallelism
+    spread = pairs.repartition(width, a_col, b_col)
+    j1 = spread.join(sh_a.select(F.col("doc_id").alias(a_col), "sh"), a_col)
+    return (
+        j1.join(sh_b.select(F.col("doc_id").alias(b_col), "sh"), [b_col, "sh"])
+        .groupBy(*key_cols)
+        .agg(F.count("*").alias("i"))
+    )
+
+
 def _minhash_verified_pairs(sh: DataFrame) -> DataFrame:
     """Band join + exact-Jaccard verify over a (doc_id, sh) relation — the
     shared back half of the plain and df-capped MinHash queries (identical
@@ -1916,12 +1957,7 @@ def _minhash_verified_pairs(sh: DataFrame) -> DataFrame:
     )
     # exact-Jaccard verify restricted to candidates
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    j1 = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-    inter = (
-        j1.join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+    inter = _pair_shingle_intersections(cand, sh)
     jac = (
         inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
@@ -2149,14 +2185,12 @@ def minhash_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     she_v = she.join(corpus_hits, "doc_id", "left_semi")
     szd = shd.groupBy("doc_id").agg(F.count("*").alias("nd"))
     sze = she_v.groupBy("doc_id").agg(F.count("*").alias("ne"))
-    inter = (
-        cand.join(shd.select(F.col("doc_id").alias("delta_doc"), "sh"), "delta_doc")
-        .join(
-            she_v.select(F.col("doc_id").alias("corpus_doc"), "sh"),
-            ["corpus_doc", "sh"],
-        )
-        .groupBy("delta_doc", "corpus_doc")
-        .agg(F.count("*").alias("i"))
+    inter = _pair_shingle_intersections(
+        cand.select("delta_doc", "corpus_doc"),
+        shd,
+        she_v,
+        a_col="delta_doc",
+        b_col="corpus_doc",
     )
     jac = F.col("i").cast("double") / (F.col("nd") + F.col("ne") - F.col("i"))
     return (
@@ -2321,12 +2355,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = est.select("doc_a", "doc_b")
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    j1 = cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-    inter = (
-        j1.join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+    inter = _pair_shingle_intersections(cand, sh)
     jac = (
         est.join(inter, ["doc_a", "doc_b"], "left")
         .withColumn("i", F.coalesce("i", F.lit(0)))
@@ -2619,12 +2648,7 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=False)
     )
-    inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
+    inter = _pair_shingle_intersections(pairs, sh)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     ver = (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
@@ -2757,6 +2781,12 @@ def sketch_order_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         adjacent("rn_sig", "sketch_order")
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # NOT routed through _pair_shingle_intersections (r12): this query's
+    # pair set is LINEAR (2·(n-1) adjacent pairs), not a quadratic band
+    # join, so the candidate spread's extra exchange costs more than the
+    # fan-out parallelism buys — A/B old faster in 4/5 interleaved pairs
+    # (2.430 vs 2.147 median). The wide-verify fix is for quadratic
+    # candidate relations.
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
